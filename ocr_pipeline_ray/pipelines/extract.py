@@ -1,0 +1,151 @@
+"""Flagship extraction pipeline (north rule / SURVEY §7).
+
+    read documents → explode to span rows → classify text spans →
+    OCR media spans (actor pool) → confidence cascade →
+    groupby(doc_id)+offset-sort reassembly → ordered span sequences
+    (+ a per-document field-extraction reduce on top).
+
+Media-payload resolution has two strategies:
+
+- ``broadcast`` (default when the media table fits in memory): the
+  ``media_ref → payload`` dict is ``ray.put`` ONCE on the driver and
+  each OCR actor ``ray.get``s it in ``__init__`` — the classic
+  small-side broadcast join; zero shuffle, payloads shipped to each
+  node once, not per batch.
+- ``join`` (the 100 TB path, media table too big to broadcast): a
+  hash-partitioned ``Dataset.join`` on ``media_ref`` co-locates span
+  rows with payloads; only media-kind rows enter the join (text rows
+  bypass it and union back), so the shuffle moves exactly the bytes
+  that need OCR.
+
+Both return the same schema and byte-identical results (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import (MEDIA_JOIN_BUCKETS, OCR_ACTOR_NUM_CPUS, OCR_BATCH_SIZE,
+                      TAU_ENHANCE, TAU_LLM, TEXT_BATCH_SIZE)
+from ..stages.classify import classify_spans
+from ..stages.explode import explode_spans
+from ..stages.ocr import OcrStage, enhance_low_conf, finalize_status
+from ..stages.reassemble import reassemble
+
+
+def build_media_lookup(media_path: str) -> Any:
+    """Driver-side: read (media_ref, payload), ``ray.put`` the dict once."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(media_path, columns=["media_ref", "payload"])
+    return ray.put(dict(zip(t["media_ref"].to_pylist(), t["payload"].to_pylist())))
+
+
+def _init_media_status(batch: pa.Table) -> pa.Table:
+    """Media-branch columns (status='pending', conf=0.0) before the join."""
+    n = batch.num_rows
+    return batch.append_column(
+        "status", pa.array(["pending"] * n, type=pa.string())
+    ).append_column("conf", pa.array([0.0] * n, type=pa.float64()))
+
+
+def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
+                  ocr_concurrency=(1, 8),
+                  join_partitions: int = MEDIA_JOIN_BUCKETS):
+    """documents Dataset → ordered span-sequence Dataset.
+
+    Out schema: (doc_id, order:int32, kind, text, media_ref, conf, status).
+    """
+    exploded = docs_ds.map_batches(explode_spans, batch_format="pyarrow")
+
+    if media_ds is not None:
+        # Scale path: text and media branches split right after the cheap
+        # explode (each branch re-scans the pruned documents read — the
+        # docs table is a small fraction of the media bytes). Only media
+        # rows enter the hash join; text rows never touch the shuffle.
+        media_rows = exploded.filter(expr="kind == 'media'") \
+            .map_batches(_init_media_status, batch_format="pyarrow")
+        text_rows = exploded.filter(expr="kind == 'text'") \
+            .map_batches(classify_spans, batch_format="pyarrow",
+                         batch_size=TEXT_BATCH_SIZE)
+        joined = media_rows.join(
+            media_ds.select_columns(["media_ref", "payload"]),
+            join_type="left_outer", num_partitions=join_partitions,
+            on=("media_ref",),
+            # Aggregators are memory-bound accumulators; tiny fractional
+            # CPU so a wide join (many partitions) can never starve the
+            # OCR actor pool / map tasks into a deadlock on a small node.
+            aggregator_ray_remote_args={"num_cpus": 0.1},
+        )
+        # OcrStage emits the span schema only (payload column consumed).
+        ocrd = joined.map_batches(
+            OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
+            concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
+        )
+        ds = ocrd.union(text_rows)
+    else:
+        # Broadcast path: single pass, no branches — classify handles text
+        # rows and passes media rows through; the OCR pool resolves
+        # payloads from the actor-local broadcast dict.
+        ds = exploded.map_batches(classify_spans, batch_format="pyarrow",
+                                  batch_size=TEXT_BATCH_SIZE)
+        ds = ds.map_batches(
+            OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
+            concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
+            fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref},
+        )
+
+    ds = ds.map_batches(enhance_low_conf, batch_format="pyarrow",
+                        fn_kwargs={"tau_enhance": TAU_ENHANCE})
+    ds = ds.map_batches(finalize_status, batch_format="pyarrow",
+                        fn_kwargs={"tau_llm": TAU_LLM})
+    return reassemble(ds)
+
+
+def extract_fields_per_doc(spans_ds):
+    """Ordered spans → one row per document with extracted utility fields
+    (reference extract_fields path, pipeline.py:2340-2380) + validation
+    status (pipeline.py:2769-2808) + mean span confidence."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.regex_banks import extract_fields, validate_fields
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("order", kind="mergesort")
+        full_text = "\n".join(g["text"])
+        fields = extract_fields(full_text)
+        status, warnings = validate_fields(fields)
+        return pd.DataFrame([{
+            "doc_id": g["doc_id"].iloc[0],
+            "electricity_kwh": fields["electricity_kwh"],
+            "carbon_kgco2e": fields["carbon_kgco2e"],
+            "account_number": fields["account_number"],
+            "bill_date": fields["bill_date"],
+            "meter_reading": fields["meter_reading"],
+            "status": status,
+            "n_warnings": len(warnings),
+            "n_spans": len(g),
+            "doc_conf": float(np.mean(g["conf"])) if len(g) else 0.0,
+        }])
+
+    return spans_ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def lineage_metrics(spans_ds) -> pa.Table:
+    """Small global metrics reduce (status/cascade counts, conf histogram)
+    — the per-partition lineage record payload (SURVEY §4 checkpoint row)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        statuses = batch["status"]
+        uniq = pc.unique(statuses)
+        counts = [pc.sum(pc.cast(pc.equal(statuses, u), pa.int64())).as_py()
+                  for u in uniq]
+        return pa.table({"status": uniq, "n": pa.array(counts, type=pa.int64())})
+
+    partials = spans_ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return partials.groupby("status").aggregate(Sum("n", alias_name="n"))

@@ -1,0 +1,121 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data is a batch engine; windowing is expressed as data (bucket
+columns) + ``groupby``: tumbling windows become truncated-timestamp
+group keys, sessions/running totals become per-key ``map_groups`` over
+ts-sorted groups (the ordering is data, not an executor property —
+same principle as the reassembly stage). An as-of join is a per-key
+``pandas.merge_asof`` after co-partitioning.
+
+Scale: the only shuffles are groupbys on (type, bucket) or user_id;
+hourly pre-aggregation happens per batch before the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _events(sf_dir: str, columns: list[str]):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+    Pre-aggregated per batch; the shuffle moves (type, hour) partials."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value")) \
+        .to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "n_events": np.int64(len(g)),
+            "n_types": np.int64(g["event_type"].nunique()),
+            "avg_value": round(float(g["value"].mean()), 4),
+        }])
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user: one row per
+    session with start, n_events, duration. Gaps-and-islands inside a
+    ts-sorted per-user group."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "size"))
+        out["user_id"] = g["user_id"].iloc[0]
+        out["duration_s"] = (
+            (out["session_end"] - out["session_start"]).dt.total_seconds().round(3))
+        return out[["user_id", "session_start", "n_events", "duration_s"]]
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
+        .to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum of value in (ts, event_id) order — the
+    streaming cumulative-state pattern as a per-key ordered fold."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.assign(running_value=g["value"].cumsum().round(2))
+        return g[["user_id", "event_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def errors_with_last_signup(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each 'error' event matched to the same user's most
+    recent prior-or-equal 'signup' event (pd.merge_asof per user group)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        errors = g[g["event_type"] == "error"]
+        signups = g[g["event_type"] == "signup"]
+        if errors.empty:
+            return pd.DataFrame(columns=["user_id", "event_id", "signup_event_id"])
+        merged = pd.merge_asof(
+            errors[["user_id", "ts", "event_id"]],
+            signups[["ts", "event_id"]].rename(columns={"event_id": "signup_event_id"}),
+            on="ts", direction="backward")
+        out = merged[["user_id", "event_id", "signup_event_id"]]
+        return out.astype({"signup_event_id": "float64"})
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)

@@ -1,0 +1,145 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Plain run:  prints ONE JSON line
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "extract_docs_per_sec": ..., "extract_spans_per_sec": ...}
+
+--scaling:  runs the same bench twice in FRESH processes
+  (num_cpus=8 then num_cpus=32) on identical input and reports both
+  throughputs + scaling efficiency (the north rule's two-cluster-size
+  criterion, evidenced at two parallelism levels as documented in
+  BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+This script OWNS its Ray session (init+shutdown); library code never
+does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _corpus_for_bench(sf_dir: str) -> tuple[str, int]:
+    """Span corpus sized from the sf tier, cached under /tmp (cache is
+    also the 'warm the page cache' step: the timed run reads files the
+    generator just wrote)."""
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.sources.synth import write_corpus
+
+    n_docs = max(100, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    out = f"/tmp/ocr_ray_bench_corpus/n{n_docs}-seed42"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(out, n_docs=n_docs, seed=42, skew_upper=300, num_files=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out, n_docs
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        import ray.data as rd
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        from ocr_pipeline_ray.pipelines import (dedup, relational, similarity,
+                                                text, windows)
+        from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
+                                                        extract_spans)
+
+        corpus, n_docs = _corpus_for_bench(SF_DIR)
+        timings: dict[str, float] = {}
+        extras: dict[str, float] = {}
+
+        # headline: flagship extraction pipeline, broadcast media path
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(f"{corpus}/documents_spans")
+        ref = build_media_lookup(f"{corpus}/media")
+        spans = extract_spans(docs, media_lookup_ref=ref,
+                              ocr_concurrency=(2, max(2, NUM_CPUS // 2)))
+        n_spans = spans.count()
+        dt = time.perf_counter() - t0
+        timings["extract_spans"] = round(dt, 3)
+        extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
+        extras["extract_spans_per_sec"] = round(n_spans / dt, 2)
+
+        for name, fn in [
+            ("q1_pricing_summary", relational.q1_pricing_summary),
+            ("q3_top_revenue_orders", relational.q3_top_revenue_orders),
+            ("q5_nation_revenue", relational.q5_nation_revenue),
+            ("events_hourly", windows.events_hourly),
+            ("events_sessions", windows.events_sessions),
+            ("token_frequency_top20", text.token_frequency_top20),
+            ("near_dup_pairs_minhash", dedup.near_dup_pairs_minhash),
+            ("knn_brute_force", similarity.knn_brute_force),
+        ]:
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "headline pipeline wall time (extraction + query suite)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **extras,
+        }
+    finally:
+        import ray
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on identical input; scaling
+    efficiency = (t_8 / t_32) / (32 / 8)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm run (page cache + corpus generation), untimed
+    one(8)
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, num_cpus 8 -> 32, identical input",
+        "sec_8cpus": lo["value"],
+        "sec_32cpus": hi["value"],
+        "docs_per_sec_8cpus": lo["extract_docs_per_sec"],
+        "docs_per_sec_32cpus": hi["extract_docs_per_sec"],
+        "extract_sec_8cpus": lo["queries"]["extract_spans"],
+        "extract_sec_32cpus": hi["queries"]["extract_spans"],
+        "extract_scaling_efficiency": round(
+            (lo["queries"]["extract_spans"] / hi["queries"]["extract_spans"]) / 4.0, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

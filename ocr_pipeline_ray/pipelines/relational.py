@@ -16,9 +16,14 @@ Scale notes (100 TB design):
   via ``ray.put`` once and read per actor/task, never re-shipped per
   batch and never shuffled.
 
-Float policy: every aggregate that leaves this module is rounded
-(ROUND in the oracle SQL, np.round here) so distributed summation
-order cannot flip the value hash.
+Float determinism: distributed summation order differs from DuckDB's,
+so any float sum would differ in the last ulp and can flip a rounded
+digit (value-hash mismatch). Every summed float is therefore quantized
+per row to an exact int64 (``round(x * 1e6)`` — both engines compute
+the identical double then the identical integer), summed exactly and
+order-independently in integer domain, and divided back in a fixed
+operation order. Outputs need no rounding: the doubles are
+bit-identical to the oracle's.
 """
 
 from __future__ import annotations
@@ -28,9 +33,21 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
+
+SCALE = 1_000_000.0
+
+
+def _i64(x: np.ndarray) -> np.ndarray:
+    """Exact per-row quantization: identical in DuckDB as
+    CAST(floor(x * 1000000 + 0.5) AS BIGINT). floor(x+0.5) (half-up)
+    instead of round(): numpy rounds half-to-even while DuckDB rounds
+    half-away, and exact .5 boundaries do occur (dyadic-rational
+    scores), so round() would disagree between engines."""
+    return np.floor(np.asarray(x, dtype=np.float64) * SCALE + 0.5).astype(np.int64)
 
 
 def _lineitem(sf_dir: str, columns: list[str], filter_expr=None):
@@ -47,38 +64,45 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = _lineitem(sf_dir, cols)
 
     def partial(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
-        t = t.append_column("disc_price", disc_price)
-        t = t.append_column("charge", charge)
-        df = t.to_pandas()
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        tax = t["l_tax"].to_numpy()
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pylist(),
+            "l_linestatus": t["l_linestatus"].to_pylist(),
+            "qty_i": _i64(t["l_quantity"].to_numpy()),
+            "base_i": _i64(ext),
+            "disc_price_i": _i64(ext * (1 - disc)),
+            "charge_i": _i64(ext * (1 - disc) * (1 + tax)),
+            "disc_i": _i64(disc),
+        })
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
-        )
+            qty_i=("qty_i", "sum"), base_i=("base_i", "sum"),
+            disc_price_i=("disc_price_i", "sum"), charge_i=("charge_i", "sum"),
+            disc_i=("disc_i", "sum"), count_order=("qty_i", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_charge", alias_name="sum_charge"),
-        Sum("sum_disc", alias_name="sum_disc"),
-        Sum("count_order", alias_name="count_order"),
-    ).to_pandas()
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
-    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
-    out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(4)
-    out = out.drop(columns=["sum_disc"])
-    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
-        out[c] = out[c].round(2)
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("qty_i", alias_name="qty_i"),
+            Sum("base_i", alias_name="base_i"),
+            Sum("disc_price_i", alias_name="disc_price_i"),
+            Sum("charge_i", alias_name="charge_i"),
+            Sum("disc_i", alias_name="disc_i"),
+            Sum("count_order", alias_name="count_order"),
+        ).to_pandas()
+    n = out["count_order"].astype("float64")
+    out["sum_qty"] = out["qty_i"] / SCALE
+    out["sum_base_price"] = out["base_i"] / SCALE
+    out["sum_disc_price"] = out["disc_price_i"] / SCALE
+    out["sum_charge"] = out["charge_i"] / SCALE
+    out["avg_qty"] = (out["qty_i"] / SCALE) / n
+    out["avg_price"] = (out["base_i"] / SCALE) / n
+    out["avg_disc"] = (out["disc_i"] / SCALE) / n
     out["count_order"] = out["count_order"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "sum_charge", "count_order", "avg_qty",
+               "avg_price", "avg_disc"]]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -89,36 +113,39 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 
     Both dimension sides are small after filtering → broadcast pattern:
     ray.put once, look up inside map_batches (no shuffle join)."""
-    cust = pa.parquet.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
     building = set(
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist())
-    orders = pa.parquet.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    omask = pc.is_in(orders["o_custkey"], value_set=pa.array(list(building), type=pa.int64()))
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    omask = pc.is_in(orders["o_custkey"],
+                     value_set=pa.array(list(building), type=pa.int64()))
     orders_b = orders.filter(omask)
     odate = dict(zip(orders_b["o_orderkey"].to_pylist(),
                      orders_b["o_orderdate"].to_pylist()))
-    odate_ref = ray.put(odate)
+    odate_ref = ray.put(set(odate))
 
     ds = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        lookup = ray.get(odate_ref)
+        keys_ok = ray.get(odate_ref)
         keys = t["l_orderkey"].to_numpy()
-        mask = np.fromiter((k in lookup for k in keys), dtype=bool, count=len(keys))
-        t = t.filter(pa.array(mask))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev}).to_pandas()
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        mask = np.fromiter((k in keys_ok for k in keys), dtype=bool, count=len(keys))
+        ext = t["l_extendedprice"].to_numpy()[mask]
+        disc = t["l_discount"].to_numpy()[mask]
+        df = pd.DataFrame({"l_orderkey": keys[mask],
+                           "rev_i": _i64(ext * (1 - disc))})
+        g = df.groupby("l_orderkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     per_order = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
+        .groupby("l_orderkey").aggregate(Sum("rev_i", alias_name="rev_i")) \
         .to_pandas()
-    per_order["revenue"] = per_order["revenue"].round(2)
-    per_order["o_orderdate"] = per_order["l_orderkey"].map(odate)
+    per_order["revenue"] = per_order["rev_i"] / SCALE
+    # timestamps leave as strings so value hashing is resolution-proof
+    per_order["o_orderdate"] = per_order["l_orderkey"].map(
+        lambda k: odate[k].strftime("%Y-%m-%d %H:%M:%S"))
     top = per_order.sort_values(["revenue", "l_orderkey"],
                                 ascending=[False, True]).head(10)
     return top[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
@@ -129,11 +156,11 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     """region→nation→customer→orders dimension chain broadcast onto the
     lineitem fact scan; revenue grouped by nation name."""
-    nation = pa.parquet.read_table(f"{sf_dir}/nation.parquet")
-    cust = pa.parquet.read_table(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"])
-    orders = pa.parquet.read_table(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
     nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
                            nation["n_name"].to_pylist()))
     cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
@@ -153,18 +180,18 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         keys = t["l_orderkey"].to_numpy()
         nk = np.fromiter((lookup.get(k, -1) for k in keys), dtype=np.int64,
                          count=len(keys))
-        rev = (t["l_extendedprice"].to_numpy()
-               * (1.0 - t["l_discount"].to_numpy()))
-        df = pd.DataFrame({"n_nationkey": nk, "revenue": rev})
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        df = pd.DataFrame({"n_nationkey": nk, "rev_i": _i64(ext * (1 - disc))})
         df = df[df["n_nationkey"] >= 0]
-        g = df.groupby("n_nationkey", as_index=False)["revenue"].sum()
+        g = df.groupby("n_nationkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("n_nationkey").aggregate(Sum("revenue", alias_name="revenue")) \
+        .groupby("n_nationkey").aggregate(Sum("rev_i", alias_name="rev_i")) \
         .to_pandas()
     out["n_name"] = out["n_nationkey"].map(nation_name)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["rev_i"] / SCALE
     return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
 
@@ -183,12 +210,13 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
-        return pa.table({"revenue": pa.array([rev], type=pa.float64())})
+        rev_i = int(_i64(t["l_extendedprice"].to_numpy()
+                         * t["l_discount"].to_numpy()).sum())
+        return pa.table({"rev_i": pa.array([rev_i], type=pa.int64())})
 
     total = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .aggregate(Sum("revenue", alias_name="revenue"))
-    return pd.DataFrame([{"revenue": round(total["revenue"], 2)}])
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+    return pd.DataFrame([{"revenue": (total["rev_i"] or 0) / SCALE}])
 
 
 # --- top-k / sort ---
@@ -205,7 +233,6 @@ def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(topk, batch_format="pyarrow", batch_size=65536).to_pandas()
     out = out.sort_values(["o_totalprice", "o_orderkey"],
                           ascending=[False, True]).head(10)
-    out["o_totalprice"] = out["o_totalprice"].round(2)
     return out.reset_index(drop=True)
 
 
@@ -214,14 +241,29 @@ def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
 def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_mktsegment", "c_acctbal"])
-    out = ds.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_customers"),
-        Mean("c_acctbal", alias_name="avg_acctbal"),
-        Min("c_acctbal", alias_name="min_acctbal"),
-        Max("c_acctbal", alias_name="max_acctbal"),
-    ).to_pandas()
-    out["avg_acctbal"] = out["avg_acctbal"].round(4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_mktsegment": t["c_mktsegment"].to_pylist(),
+            "bal_i": _i64(t["c_acctbal"].to_numpy()),
+            "bal": t["c_acctbal"].to_numpy(),
+        })
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            bal_i=("bal_i", "sum"), n_customers=("bal_i", "size"),
+            min_acctbal=("bal", "min"), max_acctbal=("bal", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("bal_i", alias_name="bal_i"),
+            Sum("n_customers", alias_name="n_customers"),
+            Min("min_acctbal", alias_name="min_acctbal"),
+            Max("max_acctbal", alias_name="max_acctbal")) \
+        .to_pandas()
+    out["avg_acctbal"] = (out["bal_i"] / SCALE) / out["n_customers"].astype("float64")
     out["n_customers"] = out["n_customers"].astype("int64")
+    out = out[["c_mktsegment", "n_customers", "avg_acctbal",
+               "min_acctbal", "max_acctbal"]]
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -231,7 +273,7 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
     """Orders with ≥1 lineitem shipped >60 days after order date,
     counted per priority. Semi-join: the qualifying key set is built on
     the fact scan, broadcast, then applied to orders."""
-    orders = pa.parquet.read_table(
+    orders = pq.read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
     odate_ref = ray.put(dict(zip(orders["o_orderkey"].to_pylist(),
@@ -244,7 +286,8 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
         keys = t["l_orderkey"].to_pylist()
         ships = t["l_shipdate"].to_pylist()
         late = {k for k, s in zip(keys, ships)
-                if k in lookup and (s - lookup[k]).days > 60}
+                if k in lookup
+                and (s - lookup[k]).total_seconds() > 60 * 86400}
         return pa.table({"o_orderkey": pa.array(sorted(late), type=pa.int64())})
 
     late_keys = set()
@@ -263,7 +306,7 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
 # --- anti-join via broadcast key set ---
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    orders = pa.parquet.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     with_orders = ray.put(set(orders["o_custkey"].to_pylist()))
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
@@ -276,6 +319,9 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(anti, batch_format="pyarrow") \
         .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")) \
         .to_pandas()
+    if out.empty:  # empty aggregates lose their schema on to_pandas
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64")})
     out["n_customers"] = out["n_customers"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
@@ -288,17 +334,31 @@ def distinct_part_types(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"p_type": vals})
 
 
-# --- part stats (plain groupby, no pre-agg needed: small table) ---
+# --- part stats ---
 
 def part_brand_stats(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
                          columns=["p_brand", "p_retailprice", "p_size"])
-    out = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"),
-        Mean("p_retailprice", alias_name="avg_price"),
-        Max("p_size", alias_name="max_size"),
-    ).to_pandas()
-    out["avg_price"] = out["avg_price"].round(4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_brand": t["p_brand"].to_pylist(),
+            "price_i": _i64(t["p_retailprice"].to_numpy()),
+            "p_size": t["p_size"].to_numpy(),
+        })
+        g = df.groupby("p_brand", as_index=False).agg(
+            price_i=("price_i", "sum"), n_parts=("price_i", "size"),
+            max_size=("p_size", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Sum("price_i", alias_name="price_i"),
+            Sum("n_parts", alias_name="n_parts"),
+            Max("max_size", alias_name="max_size")) \
+        .to_pandas()
+    out["avg_price"] = (out["price_i"] / SCALE) / out["n_parts"].astype("float64")
     out["n_parts"] = out["n_parts"].astype("int64")
     out["max_size"] = out["max_size"].astype("int32")
+    out = out[["p_brand", "n_parts", "avg_price", "max_size"]]
     return out.sort_values("p_brand").reset_index(drop=True)

@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch
+  against a broadcast query vector/matrix (``ray.put`` once, read in
+  every task), per-batch top-k then a tiny global top-k. No shuffle.
+- embedding near-dup: all pairs above a cosine threshold via the same
+  broadcast-matrix pattern (each batch of rows × the full matrix);
+  the O(n²) work is sharded across batches. The scale path is an
+  IVF/LSH-bucketed variant (ivf_topk below) that probes only the
+  nearest coarse cells.
+
+All cosine math is float64 on both sides (the DuckDB oracle casts to
+DOUBLE[]) so rounded values hash identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+N_COPY_VECS = 5
+COPY_OFFSET = 10_000
+COSINE_DUP_THRESHOLD = 0.999
+
+
+def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def knn_brute_force(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k by cosine similarity to the vec_id=0 embedding (query vector
+    broadcast once; per-batch partial top-k; deterministic ordering by
+    (rounded sim desc, vec_id asc))."""
+    ids, mat = _emb_matrix(sf_dir)
+    q = mat[ids == 0][0]
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qv) / np.where(norms > 0, norms, 1.0)
+        mask = vid != 0
+        vid, sims = vid[mask], np.round(sims[mask], 6)
+        order = np.lexsort((vid, -sims))[:k]
+        return pa.table({"vec_id": pa.array(vid[order], type=pa.int64()),
+                         "cosine_sim": pa.array(sims[order], type=pa.float64())})
+
+    out = ds.map_batches(topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = out.sort_values(["cosine_sim", "vec_id"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
+    """Per label: count + mean of per-vector element sums (a scalar
+    centroid statistic that stays SQL-checkable)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def mass(batch: pa.Table) -> pa.Table:
+        # per-vector sum quantized to int64 micro-units: numpy's pairwise
+        # summation and DuckDB's sequential list_sum agree to within an
+        # ulp, and the quantized integers (then an exact int sum) are
+        # order-independent across engines
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vs_i = np.floor(m.sum(axis=1) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"label": batch["label"],
+                         "vs_i": pa.array(vs_i, type=pa.int64())})
+
+    out = ds.map_batches(mass, batch_format="pyarrow") \
+        .groupby("label").aggregate(Count(alias_name="n_vecs"),
+                                    Sum("vs_i", alias_name="vs_i")) \
+        .to_pandas()
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["avg_vec_sum"] = (out["vs_i"] / 1e6) / out["n_vecs"].astype("float64")
+    out["label"] = out["label"].astype("int32")
+    out = out[["label", "n_vecs", "avg_vec_sum"]]
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Cosine near-dup pairs over the corpus augmented with exact copies
+    of the first N_COPY_VECS vectors (vec_id+COPY_OFFSET) — broadcast
+    full matrix, shard the pair scan across batches, keep (a < b,
+    cosine ≥ 0.999). Matches the oracle's exhaustive cross join."""
+    ids, mat = _emb_matrix(sf_dir)
+    copy_mask = ids < N_COPY_VECS
+    aug_ids = np.concatenate([ids, ids[copy_mask] + COPY_OFFSET])
+    aug_mat = np.vstack([mat, mat[copy_mask]])
+    norms = np.linalg.norm(aug_mat, axis=1)
+    unit = aug_mat / np.where(norms > 0, norms, 1.0)[:, None]
+    ref = ray.put((aug_ids, unit))
+
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(aug_ids, type=pa.int64()),
+                                 "row": pa.array(range(len(aug_ids)),
+                                                 type=pa.int64())}))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ref)
+        rows = np.asarray(batch["row"].to_pylist(), dtype=np.int64)
+        sims = all_unit[rows] @ all_unit.T  # (batch, n)
+        out_a, out_b, out_s = [], [], []
+        for bi, r in enumerate(rows):
+            hits = np.where(sims[bi] >= COSINE_DUP_THRESHOLD)[0]
+            for h in hits:
+                if all_ids[r] < all_ids[h]:
+                    out_a.append(all_ids[r])
+                    out_b.append(all_ids[h])
+                    out_s.append(round(float(sims[bi, h]), 4))
+        return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
+                         "vec_b": pa.array(out_b, type=pa.int64()),
+                         "cosine_sim": pa.array(out_s, type=pa.float64())})
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=512).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (first n_cells
+    vectors as centroids), probe the n_probe nearest cells only. The
+    100 TB scale path for knn_brute_force — results are approximate, so
+    this is a rows-only check (recall vs brute force is asserted in
+    tests, not the driver gate)."""
+    ids, mat = _emb_matrix(sf_dir)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
+    centroids = unit[:n_cells]
+    assign = np.argmax(unit @ centroids.T, axis=1)
+    q = unit[ids == 0][0]
+    probe_cells = set(np.argsort(-(centroids @ q))[:n_probe].tolist())
+    ref = ray.put(q)
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "cell": pa.array(assign, type=pa.int32()),
+        "embedding": pa.array([list(map(float, r)) for r in unit],
+                              type=pa.list_(pa.float64())),
+    })).filter(expr=f"cell in {sorted(probe_cells)}")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        sims = np.round(m @ qv, 6)
+        mask = vid != 0
+        vid, sims = vid[mask], sims[mask]
+        order = np.lexsort((vid, -sims))[:k]
+        return pa.table({"vec_id": pa.array(vid[order], type=pa.int64()),
+                         "cosine_sim": pa.array(sims[order], type=pa.float64())})
+
+    out = ds.map_batches(topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = out.sort_values(["cosine_sim", "vec_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

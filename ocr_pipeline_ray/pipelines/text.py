@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID, quality scoring, token statistics, fingerprinting — the
+text-side operators a 100 TB training-data pipeline needs, built on
+the same kernels (functions.textstats) the span pipeline uses. Every
+formula is restated exactly in DuckDB SQL by the oracle.
+
+All stages are vectorized map_batches over pruned-column reads;
+global reductions (top-k tokens) pre-aggregate per batch before the
+small final groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions import textstats as ts
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per doc: token count, distinct tokens, char length."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [t.split(" ") for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array([len(t) for t in toks], type=pa.int64()),
+            "n_unique_tokens": pa.array([len(set(t)) for t in toks], type=pa.int64()),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        })
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_frequency_top20(sf_dir: str) -> pd.DataFrame:
+    """Global top-20 tokens: per-batch partial counts → tiny groupby →
+    deterministic (count desc, token asc) top-k."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array([c[t] for t in toks], type=pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    top = counts.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
+def quality_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Mean quality score per labelled lang (quality formula in
+    functions.textstats.quality_score, SQL-identical)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        # per-doc score quantized to exact int64 micro-units so the
+        # cross-engine sum is order-independent (see relational.py policy)
+        q_i = [int(np.floor(ts.quality_score(t) * 1e6 + 0.5))
+               for t in batch["text"].to_pylist()]
+        return pa.table({"lang": batch["lang"],
+                         "q_i": pa.array(q_i, type=pa.int64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("q_i", alias_name="q_i")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["avg_quality"] = (out["q_i"] / 1e6) / out["n_docs"].astype("float64")
+    out = out[["lang", "n_docs", "avg_quality"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
+    """Stopword-vote language prediction vs the labelled lang column:
+    (lang, predicted_lang, n) confusion counts."""
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def predict(batch: pa.Table) -> pa.Table:
+        preds = [ts.lang_id(t) for t in batch["text"].to_pylist()]
+        return pa.table({"lang": batch["lang"],
+                         "predicted_lang": pa.array(preds, type=pa.string())})
+
+    out = ds.map_batches(predict, batch_format="pyarrow") \
+        .groupby(["lang", "predicted_lang"]).aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "predicted_lang"]).reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """md5 content fingerprint per doc (the exact-dedup key; reference
+    sha256-digests its inputs the same way, pipeline.py:2580-2585)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [ts.fingerprint_md5(t) for t in batch["text"].to_pylist()],
+                type=pa.string()),
+        })
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def prefix_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup on a blocking key (first-5-token prefix): keep the
+    min doc_id per key — hash-partition + per-group first, the
+    canonical exact-dedup shape (key, then groupby, then head(1))."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        pref = [" ".join(t.split(" ")[:5]) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "prefix_key": pa.array(pref, type=pa.string())})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")[["doc_id", "prefix_key"]]
+
+    out = ds.map_batches(key, batch_format="pyarrow") \
+        .groupby("prefix_key").map_groups(first, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "prefix_key"]]

@@ -30,17 +30,22 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"))
+        # hour bucket as string → resolution-proof value hashing vs the oracle;
+        # value summed in exact int64 micro-units (see relational.py float policy)
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            val_i=np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64))
         return df.groupby(["event_type", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
+            n_events=("val_i", "size"), val_i=("val_i", "sum"))
 
     out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
         .groupby(["event_type", "hour"]).aggregate(
             Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value")) \
+            Sum("val_i", alias_name="val_i")) \
         .to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = out["val_i"] / 1e6
+    out = out[["event_type", "hour", "n_events", "sum_value"]]
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
@@ -48,11 +53,12 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["user_id", "event_type", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        val_i = int(np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64).sum())
         return pd.DataFrame([{
             "user_id": g["user_id"].iloc[0],
             "n_events": np.int64(len(g)),
             "n_types": np.int64(g["event_type"].nunique()),
-            "avg_value": round(float(g["value"].mean()), 4),
+            "avg_value": (val_i / 1e6) / float(len(g)),
         }])
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
@@ -74,8 +80,10 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
             session_start=("ts", "min"), session_end=("ts", "max"),
             n_events=("event_id", "size"))
         out["user_id"] = g["user_id"].iloc[0]
+        # exact microseconds / 1e6 — bit-identical to the oracle's epoch()
         out["duration_s"] = (
-            (out["session_end"] - out["session_start"]).dt.total_seconds().round(3))
+            (out["session_end"] - out["session_start"]).dt.total_seconds())
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         return out[["user_id", "session_start", "n_events", "duration_s"]]
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
@@ -91,7 +99,8 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g = g.assign(running_value=g["value"].cumsum().round(2))
+        val_i = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        g = g.assign(running_value=val_i.cumsum() / 1e6)
         return g[["user_id", "event_id", "running_value"]]
 
     out = ds.groupby("user_id").map_groups(running, batch_format="pandas") \

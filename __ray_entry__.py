@@ -81,8 +81,8 @@ def _q_extract_fields(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ocr_pipeline_ray.pipelines import (dedup, relational, similarity,
-                                            text, windows)
+    from ocr_pipeline_ray.pipelines import (dedup, modelops, relational,
+                                            similarity, text, windows)
 
     return {
         # flagship span-extraction pipeline (north rule; pytest-gated)
@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_mass": similarity.embedding_centroid_mass,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ivf_topk": similarity.ivf_topk,
+        # multimodal + model-adjacent operators (rows-only)
+        "media_feature_stats": modelops.media_feature_stats,
+        "frame_samples": modelops.frame_samples,
+        "ensemble_vote_merge": modelops.ensemble_vote_merge,
+        "calibration_thresholds": modelops.calibration_thresholds,
     }
 
 

@@ -1,0 +1,115 @@
+"""Model-adjacent operator pipelines: multimodal features, frame
+sampling, multi-engine ensemble merge, confidence calibration.
+
+All operate on the deterministic span/media corpus (derived per
+sf_dir) or seeded synthetic samples; results are deterministic but not
+SQL-expressible → rows-only entries in the driver gate, with exact
+assertions in tests/test_stages_extra.py and tests/test_modelops.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import calibration
+from ..stages import multimodal
+from ..stages.ensemble import ensemble_merge
+from .extract import build_media_lookup  # noqa: F401  (re-export convenience)
+
+
+def _corpus(sf_dir: str) -> str:
+    import __ray_entry__ as entrymod
+    return entrymod._span_corpus(sf_dir)
+
+
+def media_feature_stats(sf_dir: str) -> pd.DataFrame:
+    """MediaFeatures actor stage → per media_kind count + mean payload
+    size (feature[0]); exercises the binary→feature plumbing end-to-end."""
+    corpus = _corpus(sf_dir)
+    media = rd.read_parquet(f"{corpus}/media")
+    feats = media.map_batches(multimodal.MediaFeatures, batch_size=128,
+                              concurrency=2, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "media_kind": t["media_kind"].to_pylist(),
+            "size_i": [int(f[0]) for f in t["features"].to_pylist()],
+        })
+        g = df.groupby("media_kind", as_index=False).agg(
+            n=("size_i", "size"), total_bytes=("size_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..stages.agg import partial_merge
+    out = partial_merge(feats, partial, keys=["media_kind"],
+                        agg_spec={"n": ("n", "sum"),
+                                  "total_bytes": ("total_bytes", "sum")})
+    out = out.astype({"n": "int64", "total_bytes": "int64"})
+    return out.sort_values("media_kind").reset_index(drop=True)
+
+
+def frame_samples(sf_dir: str) -> pd.DataFrame:
+    """FrameSample explode (1 media row → k frame rows), sorted output."""
+    corpus = _corpus(sf_dir)
+    media = rd.read_parquet(f"{corpus}/media")
+    out = media.map_batches(multimodal.FrameSample, batch_size=128,
+                            concurrency=2, batch_format="pyarrow",
+                            fn_constructor_kwargs={"every_k": 2}).to_pandas()
+    return out.sort_values(["media_ref", "frame_index"]).reset_index(drop=True)
+
+
+def ensemble_vote_merge(sf_dir: str) -> pd.DataFrame:
+    """Three synthetic 'engines' over the corpus pages (clean / box-jitter
+    / low-conf char-corrupt — the reference's paddle/tesseract/easyocr
+    trio shape) → J2 vote-merge per page. Returns merged tokens."""
+    corpus = _corpus(sf_dir)
+    media = rd.read_parquet(f"{corpus}/media")
+
+    def explode_engines(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "engine": [], "text": [], "conf": [],
+                "x1": [], "y1": [], "x2": [], "y2": []}
+        for ref, lines in zip(t["media_ref"].to_pylist(),
+                              t["truth_lines"].to_pylist()):
+            if not lines:
+                continue
+            for li in lines[:5]:
+                w = 8 * max(1, len(li["text"]))
+                for eng, (dx, conf, corrupt) in {
+                        "clean": (0, 0.9, False),
+                        "jitter": (2, 0.8, False),
+                        "weak": (1, 0.4, True)}.items():
+                    text = li["text"]
+                    if corrupt:
+                        text = text.replace("1", "l").replace("0", "O")
+                    rows["doc_id"].append(ref)
+                    rows["engine"].append(eng)
+                    rows["text"].append(text)
+                    rows["conf"].append(conf)
+                    rows["x1"].append(float(li["x"] + dx))
+                    rows["y1"].append(float(li["y"]))
+                    rows["x2"].append(float(li["x"] + dx + w))
+                    rows["y2"].append(float(li["y"] + 20))
+        return pa.table(rows)
+
+    tokens = media.map_batches(explode_engines, batch_format="pyarrow",
+                               batch_size=128)
+    merged = ensemble_merge(tokens, n_engines=3).to_pandas()
+    return merged.sort_values(["doc_id", "y1", "x1"]).reset_index(drop=True)
+
+
+def calibration_thresholds(sf_dir: str) -> pd.DataFrame:
+    """Fit per-engine isotonic calibration on seeded samples, invert for
+    the reference's target accuracies (0.97/0.85/0.70)."""
+    rng = np.random.RandomState(42)
+    rows = []
+    for engine, skill in [("paddle", 1.0), ("tesseract", 0.8), ("easy", 0.6)]:
+        raw = rng.rand(500)
+        correct = (rng.rand(500) < np.clip(raw * skill + 0.05, 0, 1)).astype(float)
+        kx, ky = calibration.fit_isotonic(raw, correct)
+        for target in (0.97, 0.85, 0.70):
+            thr = calibration.threshold_for_accuracy(kx, ky, target)
+            rows.append({"engine": engine, "target_accuracy": target,
+                         "raw_threshold": round(thr, 4) if thr is not None else None})
+    return pd.DataFrame(rows)

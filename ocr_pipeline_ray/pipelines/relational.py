@@ -36,7 +36,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.agg import global_sum, partial_merge
 
 SCALE = 1_000_000.0
 
@@ -82,15 +83,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             disc_i=("disc_i", "sum"), count_order=("qty_i", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("qty_i", alias_name="qty_i"),
-            Sum("base_i", alias_name="base_i"),
-            Sum("disc_price_i", alias_name="disc_price_i"),
-            Sum("charge_i", alias_name="charge_i"),
-            Sum("disc_i", alias_name="disc_i"),
-            Sum("count_order", alias_name="count_order"),
-        ).to_pandas()
+    out = partial_merge(
+        ds, partial, keys=["l_returnflag", "l_linestatus"],
+        agg_spec={c: (c, "sum") for c in
+                  ["qty_i", "base_i", "disc_price_i", "charge_i", "disc_i",
+                   "count_order"]})
     n = out["count_order"].astype("float64")
     out["sum_qty"] = out["qty_i"] / SCALE
     out["sum_base_price"] = out["base_i"] / SCALE
@@ -139,9 +136,8 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("l_orderkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_order = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("l_orderkey").aggregate(Sum("rev_i", alias_name="rev_i")) \
-        .to_pandas()
+    per_order = partial_merge(ds, partial, keys=["l_orderkey"],
+                              agg_spec={"rev_i": ("rev_i", "sum")})
     per_order["revenue"] = per_order["rev_i"] / SCALE
     # timestamps leave as strings so value hashing is resolution-proof
     per_order["o_orderdate"] = per_order["l_orderkey"].map(
@@ -187,9 +183,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("n_nationkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("n_nationkey").aggregate(Sum("rev_i", alias_name="rev_i")) \
-        .to_pandas()
+    out = partial_merge(ds, partial, keys=["n_nationkey"],
+                        agg_spec={"rev_i": ("rev_i", "sum")})
     out["n_name"] = out["n_nationkey"].map(nation_name)
     out["revenue"] = out["rev_i"] / SCALE
     return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
@@ -214,9 +209,8 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
                          * t["l_discount"].to_numpy()).sum())
         return pa.table({"rev_i": pa.array([rev_i], type=pa.int64())})
 
-    total = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .aggregate(Sum("rev_i", alias_name="rev_i"))
-    return pd.DataFrame([{"revenue": (total["rev_i"] or 0) / SCALE}])
+    total = global_sum(ds, partial, "rev_i")
+    return pd.DataFrame([{"revenue": total / SCALE}])
 
 
 # --- top-k / sort ---
@@ -253,13 +247,11 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
             min_acctbal=("bal", "min"), max_acctbal=("bal", "max"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("c_mktsegment").aggregate(
-            Sum("bal_i", alias_name="bal_i"),
-            Sum("n_customers", alias_name="n_customers"),
-            Min("min_acctbal", alias_name="min_acctbal"),
-            Max("max_acctbal", alias_name="max_acctbal")) \
-        .to_pandas()
+    out = partial_merge(ds, partial, keys=["c_mktsegment"],
+                        agg_spec={"bal_i": ("bal_i", "sum"),
+                                  "n_customers": ("n_customers", "sum"),
+                                  "min_acctbal": ("min_acctbal", "min"),
+                                  "max_acctbal": ("max_acctbal", "max")})
     out["avg_acctbal"] = (out["bal_i"] / SCALE) / out["n_customers"].astype("float64")
     out["n_customers"] = out["n_customers"].astype("int64")
     out = out[["c_mktsegment", "n_customers", "avg_acctbal",
@@ -316,9 +308,15 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         mask = [k not in keys for k in t["c_custkey"].to_pylist()]
         return t.filter(pa.array(mask))
 
-    out = ds.map_batches(anti, batch_format="pyarrow") \
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")) \
-        .to_pandas()
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pylist()})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_mktsegment", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(ds.map_batches(anti, batch_format="pyarrow"),
+                        count_partial, keys=["c_mktsegment"],
+                        agg_spec={"n_customers": ("n_customers", "sum")})
     if out.empty:  # empty aggregates lose their schema on to_pandas
         return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
                              "n_customers": pd.Series([], dtype="int64")})
@@ -351,12 +349,10 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
             max_size=("p_size", "max"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("p_brand").aggregate(
-            Sum("price_i", alias_name="price_i"),
-            Sum("n_parts", alias_name="n_parts"),
-            Max("max_size", alias_name="max_size")) \
-        .to_pandas()
+    out = partial_merge(ds, partial, keys=["p_brand"],
+                        agg_spec={"price_i": ("price_i", "sum"),
+                                  "n_parts": ("n_parts", "sum"),
+                                  "max_size": ("max_size", "max")})
     out["avg_price"] = (out["price_i"] / SCALE) / out["n_parts"].astype("float64")
     out["n_parts"] = out["n_parts"].astype("int64")
     out["max_size"] = out["max_size"].astype("int32")

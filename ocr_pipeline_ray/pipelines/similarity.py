@@ -67,7 +67,7 @@ def knn_brute_force(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
     """Per label: count + mean of per-vector element sums (a scalar
     centroid statistic that stays SQL-checkable)."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import partial_merge
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["label", "embedding"])
@@ -82,10 +82,15 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
         return pa.table({"label": batch["label"],
                          "vs_i": pa.array(vs_i, type=pa.int64())})
 
-    out = ds.map_batches(mass, batch_format="pyarrow") \
-        .groupby("label").aggregate(Count(alias_name="n_vecs"),
-                                    Sum("vs_i", alias_name="vs_i")) \
-        .to_pandas()
+    def mass_partial(batch: pa.Table) -> pa.Table:
+        t = mass(batch)
+        g = t.to_pandas().groupby("label", as_index=False).agg(
+            n_vecs=("vs_i", "size"), vs_i=("vs_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(ds, mass_partial, keys=["label"],
+                        agg_spec={"n_vecs": ("n_vecs", "sum"),
+                                  "vs_i": ("vs_i", "sum")})
     out["n_vecs"] = out["n_vecs"].astype("int64")
     out["avg_vec_sum"] = (out["vs_i"] / 1e6) / out["n_vecs"].astype("float64")
     out["label"] = out["label"].astype("int32")

@@ -16,7 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+
+from ..stages.agg import partial_merge
 
 from ..functions import textstats as ts
 
@@ -57,8 +58,8 @@ def token_frequency_top20(sf_dir: str) -> pd.DataFrame:
         return pa.table({"token": pa.array(toks, type=pa.string()),
                          "n": pa.array([c[t] for t in toks], type=pa.int64())})
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    counts = partial_merge(ds, partial, keys=["token"],
+                           agg_spec={"n": ("n", "sum")})
     counts["n"] = counts["n"].astype("int64")
     top = counts.sort_values(["n", "token"], ascending=[False, True]).head(20)
     return top.reset_index(drop=True)
@@ -77,10 +78,15 @@ def quality_by_lang(sf_dir: str) -> pd.DataFrame:
         return pa.table({"lang": batch["lang"],
                          "q_i": pa.array(q_i, type=pa.int64())})
 
-    out = ds.map_batches(score, batch_format="pyarrow") \
-        .groupby("lang").aggregate(
-            Count(alias_name="n_docs"),
-            Sum("q_i", alias_name="q_i")).to_pandas()
+    def score_partial(batch: pa.Table) -> pa.Table:
+        t = score(batch)
+        g = t.to_pandas().groupby("lang", as_index=False).agg(
+            n_docs=("q_i", "size"), q_i=("q_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(ds, score_partial, keys=["lang"],
+                        agg_spec={"n_docs": ("n_docs", "sum"),
+                                  "q_i": ("q_i", "sum")})
     out["n_docs"] = out["n_docs"].astype("int64")
     out["avg_quality"] = (out["q_i"] / 1e6) / out["n_docs"].astype("float64")
     out = out[["lang", "n_docs", "avg_quality"]]
@@ -97,9 +103,14 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
         return pa.table({"lang": batch["lang"],
                          "predicted_lang": pa.array(preds, type=pa.string())})
 
-    out = ds.map_batches(predict, batch_format="pyarrow") \
-        .groupby(["lang", "predicted_lang"]).aggregate(Count(alias_name="n")) \
-        .to_pandas()
+    def predict_partial(batch: pa.Table) -> pa.Table:
+        t = predict(batch)
+        g = t.to_pandas().groupby(["lang", "predicted_lang"],
+                                  as_index=False).agg(n=("lang", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(ds, predict_partial, keys=["lang", "predicted_lang"],
+                        agg_spec={"n": ("n", "sum")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang", "predicted_lang"]).reset_index(drop=True)
 

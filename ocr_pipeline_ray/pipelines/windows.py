@@ -17,7 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+
+from ..stages.agg import partial_merge
 
 
 def _events(sf_dir: str, columns: list[str]):
@@ -38,11 +39,10 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("val_i", "size"), val_i=("val_i", "sum"))
 
-    out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("val_i", alias_name="val_i")) \
-        .to_pandas()
+    out = partial_merge(ds, partial, keys=["event_type", "hour"],
+                        agg_spec={"n_events": ("n_events", "sum"),
+                                  "val_i": ("val_i", "sum")},
+                        batch_format="pandas")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["val_i"] / 1e6
     out = out[["event_type", "hour", "n_events", "sum_value"]]

@@ -39,7 +39,7 @@ def _corpus_for_bench(sf_dir: str) -> tuple[str, int]:
     from ocr_pipeline_ray.sources.synth import write_corpus
 
     n_docs = max(100, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
-    out = f"/tmp/ocr_ray_bench_corpus/n{n_docs}-seed42"
+    out = f"/tmp/ocr_ray_bench_corpus/v2-n{n_docs}-seed42"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         write_corpus(out, n_docs=n_docs, seed=42, skew_upper=300, num_files=16)
@@ -72,8 +72,11 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         docs = rd.read_parquet(f"{corpus}/documents_spans")
         ref = build_media_lookup(f"{corpus}/media")
+        # fixed-size pool: autoscaling (min,max) pools can stall at min
+        # under bursty backlog; a deterministic pool ∝ num_cpus is what
+        # the scaling-efficiency measurement needs
         spans = extract_spans(docs, media_lookup_ref=ref,
-                              ocr_concurrency=(2, max(2, NUM_CPUS // 2)))
+                              ocr_concurrency=max(2, NUM_CPUS - 4))
         n_spans = spans.count()
         dt = time.perf_counter() - t0
         timings["extract_spans"] = round(dt, 3)

@@ -95,39 +95,72 @@ def _hash64(s: str, seed: int = 0) -> int:
     return struct.unpack("<Q", h[:8])[0]
 
 
+_MINHASH_CACHE: dict[int, tuple] = {}
+
+
+def _minhash_params(num_perms: int):
+    """(a, b) vectors for the permutation family, cached per num_perms."""
+    import numpy as np
+
+    if num_perms not in _MINHASH_CACHE:
+        a = np.array([(2 * p + 1) | 1 for p in range(num_perms)],
+                     dtype=np.uint64)
+        b = np.array([_hash64(str(p), seed=1) for p in range(num_perms)],
+                     dtype=np.uint64)
+        _MINHASH_CACHE[num_perms] = (a, b)
+    return _MINHASH_CACHE[num_perms]
+
+
 def minhash_signature(shingles: list[str], num_perms: int = 128) -> list[int]:
-    """MinHash via the one-hash + seeded-rehash scheme (deterministic)."""
+    """MinHash via the one-hash + seeded-rehash scheme (deterministic).
+
+    Vectorized: the md5 base hashes are the only per-shingle Python
+    work; the num_perms x n_shingles permute+min runs as one numpy
+    broadcast (uint64 wrap-around == the old ``& 0xFFF...F`` mask).
+    """
+    import numpy as np
+
     if not shingles:
         return [0] * num_perms
-    base = [_hash64(s) for s in shingles]
-    sig = []
-    for p in range(num_perms):
-        a = (2 * p + 1) | 1
-        b = _hash64(str(p), seed=1)
-        sig.append(min(((a * h + b) & 0xFFFFFFFFFFFFFFFF) for h in base))
-    return sig
+    base = np.fromiter((_hash64(s) for s in shingles), dtype=np.uint64,
+                       count=len(shingles))
+    a, b = _minhash_params(num_perms)
+    with np.errstate(over="ignore"):
+        sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+    return sig.tolist()
 
 
 def lsh_band_keys(sig: list[int], bands: int = 32) -> list[str]:
-    """Split a signature into ``bands`` rows-per-band buckets → hashable keys."""
+    """Split a signature into ``bands`` rows-per-band buckets → hashable
+    keys. Band hash = vectorized 64-bit mix of the band's rows (a md5
+    per band was ~10× slower and adds nothing: keys only need to
+    collide iff the band rows are identical)."""
+    import numpy as np
+
     r = len(sig) // bands
-    return [
-        f"{bi}:{hashlib.md5(repr(sig[bi * r:(bi + 1) * r]).encode()).hexdigest()[:16]}"
-        for bi in range(bands)
-    ]
+    s = np.asarray(sig, dtype=np.uint64).reshape(bands, r)
+    mix = np.uint64(0xCBF29CE484222325)  # FNV-ish fold over the band rows
+    acc = np.full(bands, mix, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(r):
+            acc = (acc ^ s[:, col]) * np.uint64(0x100000001B3)
+    return [f"{bi}:{int(acc[bi]):016x}" for bi in range(bands)]
 
 
 def simhash64(toks: list[str]) -> int:
-    """64-bit SimHash over token unigrams (deterministic md5 basis)."""
-    acc = [0] * 64
-    for t in toks:
-        h = _hash64(t)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+    """64-bit SimHash over token unigrams (deterministic md5 basis);
+    the 64-bit vote accumulation is one numpy broadcast per document."""
+    import numpy as np
+
+    if not toks:
+        return 0
+    h = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64,
+                    count=len(toks))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(toks)
     out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(bit)
     return out
 
 

@@ -100,22 +100,31 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
         return pa.table({"band_key": pa.array(out_band, type=pa.string()),
                          "doc_id": pa.array(out_doc, type=pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
-    candidates = ds.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby("band_key").map_groups(bucket_pairs, batch_format="pandas") \
-        .to_pandas().drop_duplicates()
+    # Candidate generation: the distributed pass already collapsed each
+    # doc to 32 (band_key, doc_id) rows; that table is tiny relative to
+    # the corpus (32 rows/doc, two narrow columns), so the bucket
+    # self-join runs on the driver with one pandas merge. At a scale
+    # where even the band table is too big for the driver, swap this
+    # for groupby(band_key) + per-bucket pair emission (same result,
+    # one more shuffle) — the threshold guard below enforces it.
+    band_df = pd.concat(
+        list(ds.map_batches(band_rows, batch_format="pyarrow")
+             .iter_batches(batch_format="pandas")), ignore_index=True)
+    assert len(band_df) < 50_000_000, "band table too large for driver merge"
+    cand = band_df.merge(band_df, on="band_key")
+    candidates = cand[cand["doc_id_x"] < cand["doc_id_y"]] \
+        .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}) \
+        [["doc_a", "doc_b"]].drop_duplicates()
 
     # Verification: candidate set is tiny (bounded by band collisions);
-    # texts of candidate docs broadcast once.
-    texts_tbl = _augmented_docs(sf_dir).to_pandas()
-    text_of = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
+    # read only the text columns, straight from parquet.
+    import pyarrow.parquet as _pq
+    base = _pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    text_of = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    for i in list(text_of):
+        if i < N_DUP_DOCS:
+            text_of[i + DUP_OFFSET] = "dup " + text_of[i]
     needed = set(candidates["doc_a"]) | set(candidates["doc_b"])
     shingle_of = {d: ts.token_shingles(text_of[d]) for d in needed}
     rows = []

@@ -108,12 +108,26 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
 
 def extract_fields_per_doc(spans_ds):
     """Ordered spans → one row per document with extracted utility fields
-    (reference extract_fields path, pipeline.py:2340-2380) + validation
-    status (pipeline.py:2769-2808) + mean span confidence."""
+    (reference extract_fields path, pipeline.py:2340-2380), per-field
+    confidences (A4 pattern, pipeline.py:2505-2529: confidence of the
+    spans whose text contains the match, capped 0.99; defaults 0.9/0.85),
+    validation status (pipeline.py:2769-2808), a sha256 content digest
+    (F12, pipeline.py:2580-2585) and mean span confidence."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     from ..functions.regex_banks import extract_fields, validate_fields
+
+    def _field_conf(g: pd.DataFrame, value, default: float) -> float:
+        if value is None:
+            return 0.0
+        needle = str(value)
+        hit = g[g["text"].str.contains(needle, regex=False)]
+        if hit.empty:
+            return default
+        return float(min(0.99, hit["conf"].min()))
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("order", kind="mergesort")
@@ -127,10 +141,13 @@ def extract_fields_per_doc(spans_ds):
             "account_number": fields["account_number"],
             "bill_date": fields["bill_date"],
             "meter_reading": fields["meter_reading"],
+            "conf_electricity": _field_conf(g, fields["electricity_kwh"], 0.9),
+            "conf_carbon": _field_conf(g, fields["carbon_kgco2e"], 0.85),
             "status": status,
             "n_warnings": len(warnings),
             "n_spans": len(g),
             "doc_conf": float(np.mean(g["conf"])) if len(g) else 0.0,
+            "doc_digest": hashlib.sha256(full_text.encode()).hexdigest(),
         }])
 
     return spans_ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")

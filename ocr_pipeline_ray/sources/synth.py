@@ -150,6 +150,17 @@ def gen_doc(seed: int, doc_index: int, skew_upper: int = 300) -> tuple[dict, lis
                     "payload": media_stub.encode_corrupt(mseed),
                     "truth_lines": [], "degradations": [],
                 })
+            elif kind_roll < 0.18:
+                # digital-text PDF: extractable text, no OCR (S2 fast path)
+                n_lines = int(rng.randint(2, 7))
+                dlines = [(_bill_line(rng) if rng.rand() < 0.35
+                           else _words(rng, int(rng.randint(3, 9))))
+                          for _ in range(n_lines)]
+                media_rows.append({
+                    "media_ref": ref, "media_kind": "digital_pdf",
+                    "payload": media_stub.encode_digital("\n".join(dlines)),
+                    "truth_lines": [], "degradations": [],
+                })
             else:
                 sev_idx = int(rng.choice(len(_SEVERITY_LEVELS), p=_SEVERITY_P))
                 n_lines = int(rng.randint(3, 12))

@@ -28,6 +28,7 @@ import struct
 
 MAGIC_PAGE = b"FPG1"
 MAGIC_BLANK = b"BLNK"
+MAGIC_DIGITAL = b"DTXT"
 
 
 def _keystream(seed: int, n: int) -> bytes:
@@ -59,10 +60,24 @@ def encode_corrupt(seed: int, n: int = 48) -> bytes:
     return _keystream(seed ^ 0xDEAD, n)
 
 
+def encode_digital(text: str) -> bytes:
+    """A 'digital-text PDF': extractable text, no OCR needed (the
+    reference's pdfminer fast path, pipeline.py:1938-1946)."""
+    return MAGIC_DIGITAL + text.encode("utf-8")
+
+
+def decode_digital(payload: bytes) -> str:
+    if payload[:4] != MAGIC_DIGITAL:
+        raise ValueError("not a DTXT payload")
+    return payload[4:].decode("utf-8")
+
+
 def classify_payload(payload: bytes) -> str:
-    """S4/S5 analog: magic-byte sniffing → page | blank | corrupt."""
+    """S4/S5 analog: magic-byte sniffing → page | digital | blank | corrupt."""
     if payload[:4] == MAGIC_PAGE:
         return "page"
+    if payload[:4] == MAGIC_DIGITAL:
+        return "digital"
     if payload[:4] == MAGIC_BLANK:
         return "blank"
     return "corrupt"

@@ -64,6 +64,9 @@ class DecodeMedia:
             if kind == "page":
                 n_lines.append(len(media_stub.decode_page(payload)))
                 ok.append(True)
+            elif kind == "digital":
+                n_lines.append(media_stub.decode_digital(payload).count("\n") + 1)
+                ok.append(True)
             else:
                 n_lines.append(0)
                 ok.append(kind == "blank")
@@ -109,6 +112,43 @@ class MediaFeatures:
         return batch.drop_columns(["payload"]).append_column(
             "features",
             pa.array(feats, type=pa.list_(pa.float32(), self.FEATURE_DIM)))
+
+
+_TIER_STRATEGY = {
+    "high": "direct",
+    "medium": "bilateral+qat",
+    "low": "denoise+qat",
+    "very_low": "full_preprocess+tesseract",
+}
+
+
+def quality_route(batch: pa.Table) -> pa.Table:
+    """Quality-tier strategy routing (reference R3/F15,
+    adaptive_ocr_pipeline.py:76-148, 349-407): cheap payload statistics
+    → weighted quality score → 4-tier → per-row strategy column. The
+    downstream pipeline branches on the strategy column (per-row
+    routing as data, the cascade pattern), not on control flow."""
+    scores, tiers, strategies = [], [], []
+    for payload in batch["payload"].to_pylist():
+        kind = media_stub.classify_payload(payload or b"")
+        if kind in ("blank", "corrupt") or not payload:
+            score = 0.0
+        else:
+            arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+            contrast = float(arr.std()) / 128.0
+            fill = float((arr > 32).mean())
+            size_ok = min(1.0, len(payload) / 512.0)
+            score = 0.4 * min(1.0, contrast) + 0.3 * fill + 0.3 * size_ok
+        tier = ("high" if score >= 0.75 else
+                "medium" if score >= 0.5 else
+                "low" if score >= 0.25 else "very_low")
+        scores.append(score)
+        tiers.append(tier)
+        strategies.append(_TIER_STRATEGY[tier])
+    return batch.append_column(
+        "quality_score", pa.array(scores, type=pa.float64())) \
+        .append_column("quality_tier", pa.array(tiers, type=pa.string())) \
+        .append_column("strategy", pa.array(strategies, type=pa.string()))
 
 
 class FrameSample:

@@ -70,6 +70,10 @@ def ocr_page(payload: bytes) -> tuple[str, float, str]:
         return "", 0.0, "blank"
     if kind == "corrupt":
         return "", 0.0, "corrupt"
+    if kind == "digital":
+        # digital-text fast path: extractable text, skip OCR entirely,
+        # conf=1.0 (reference pdfminer path, pipeline.py:1938-1946)
+        return media_stub.decode_digital(payload), 1.0, "ok"
     lines = media_stub.decode_page(payload)
     if not lines:
         return "", 0.0, "blank"

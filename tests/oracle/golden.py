@@ -62,6 +62,8 @@ def _geomean(confs: list[float]) -> float:
 
 def _ocr_page(payload: bytes) -> tuple[str, float, str]:
     kind = media_stub.classify_payload(payload)
+    if kind == "digital":  # S2 fast path: text as-is, conf 1.0, no OCR
+        return media_stub.decode_digital(payload), 1.0, "ok"
     if kind != "page":
         return "", 0.0, kind
     lines = media_stub.decode_page(payload)

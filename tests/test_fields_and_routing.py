@@ -1,0 +1,69 @@
+"""Field extraction per doc (A4/F12) + quality-tier routing (R3/F15)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
+                                                extract_fields_per_doc,
+                                                extract_spans)
+from ocr_pipeline_ray.stages import multimodal
+
+
+@pytest.fixture(scope="module")
+def fields_df(small_corpus):
+    docs = rd.read_parquet(f"{small_corpus}/documents_spans")
+    ref = build_media_lookup(f"{small_corpus}/media")
+    spans = extract_spans(docs, media_lookup_ref=ref)
+    return extract_fields_per_doc(spans).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def test_fields_schema_and_validity(fields_df):
+    assert {"electricity_kwh", "carbon_kgco2e", "conf_electricity",
+            "conf_carbon", "status", "doc_digest"} <= set(fields_df.columns)
+    assert len(fields_df) == 60  # one row per doc
+    # extracted values respect the generator's ranges (F9 validity)
+    kwh = fields_df["electricity_kwh"].dropna()
+    assert len(kwh) > 0
+    # statuses from the F9 validator vocabulary
+    assert set(fields_df["status"]) <= {"success", "partial", "failed"}
+    # field confidences: 0 when absent, (0, 0.99] when present
+    present = fields_df["electricity_kwh"].notna()
+    assert (fields_df.loc[present, "conf_electricity"] > 0).all()
+    assert (fields_df.loc[present, "conf_electricity"] <= 0.99).all()
+    assert (fields_df.loc[~present, "conf_electricity"] == 0).all()
+
+
+def test_doc_digest_matches_sha256_of_text(small_corpus, fields_df):
+    docs = rd.read_parquet(f"{small_corpus}/documents_spans")
+    ref = build_media_lookup(f"{small_corpus}/media")
+    spans = extract_spans(docs, media_lookup_ref=ref).to_pandas()
+    one = fields_df.iloc[0]
+    g = spans[spans["doc_id"] == one["doc_id"]].sort_values("order")
+    expected = hashlib.sha256("\n".join(g["text"]).encode()).hexdigest()
+    assert one["doc_digest"] == expected
+
+
+def test_quality_route_tiers(small_corpus):
+    media = rd.read_parquet(f"{small_corpus}/media")
+    out = media.map_batches(multimodal.quality_route,
+                            batch_format="pyarrow").to_pandas()
+    assert set(out["quality_tier"]) <= {"high", "medium", "low", "very_low"}
+    # blank/corrupt payloads must route to the heaviest strategy
+    bad = out[out["media_kind"].isin(["blank", "corrupt"])]
+    assert (bad["quality_tier"] == "very_low").all()
+    assert (bad["strategy"] == "full_preprocess+tesseract").all()
+    # real pages score higher than blanks
+    pages = out[out["media_kind"] == "page_png"]
+    assert pages["quality_score"].mean() > bad["quality_score"].mean()
+    # deterministic: same input → same routing
+    out2 = media.map_batches(multimodal.quality_route,
+                             batch_format="pyarrow").to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_ref").reset_index(drop=True),
+        out2.sort_values("media_ref").reset_index(drop=True))

@@ -37,12 +37,20 @@ from ..stages.reassemble import reassemble
 
 
 def build_media_lookup(media_path: str) -> Any:
-    """Driver-side: read (media_ref, payload), ``ray.put`` the dict once."""
+    """Driver-side: ``ray.put`` the (media_ref, payload) Arrow table ONCE.
+
+    An Arrow table (unlike a Python dict) is ZERO-COPY out of the object
+    store: every OCR actor's ``ray.get`` maps the same shared-memory
+    buffers instead of unpickling a private multi-hundred-MB dict copy —
+    pool-size × dict-deserialization was the dominant anti-scaling cost
+    (measured: 32 CPUs slower than 8 before this change). Lookups use
+    ``pyarrow.compute.index_in`` per batch.
+    """
     import pyarrow.parquet as pq
     import ray
 
     t = pq.read_table(media_path, columns=["media_ref", "payload"])
-    return ray.put(dict(zip(t["media_ref"].to_pylist(), t["payload"].to_pylist())))
+    return ray.put(t.combine_chunks())
 
 
 def _init_media_status(batch: pa.Table) -> pa.Table:
@@ -69,9 +77,11 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
         # rows enter the hash join; text rows never touch the shuffle.
         media_rows = exploded.filter(expr="kind == 'media'") \
             .map_batches(_init_media_status, batch_format="pyarrow")
+        # no explicit batch_size: a mid-pipeline batch_size forces a
+        # re-bundling pass that measured 3x slower end-to-end; default
+        # block-sized batches keep the map chain fused and zero-copy
         text_rows = exploded.filter(expr="kind == 'text'") \
-            .map_batches(classify_spans, batch_format="pyarrow",
-                         batch_size=TEXT_BATCH_SIZE)
+            .map_batches(classify_spans, batch_format="pyarrow")
         joined = media_rows.join(
             media_ds.select_columns(["media_ref", "payload"]),
             join_type="left_outer", num_partitions=join_partitions,
@@ -90,9 +100,9 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
     else:
         # Broadcast path: single pass, no branches — classify handles text
         # rows and passes media rows through; the OCR pool resolves
-        # payloads from the actor-local broadcast dict.
-        ds = exploded.map_batches(classify_spans, batch_format="pyarrow",
-                                  batch_size=TEXT_BATCH_SIZE)
+        # payloads from the zero-copy broadcast table. No explicit
+        # batch_size (see note above).
+        ds = exploded.map_batches(classify_spans, batch_format="pyarrow")
         ds = ds.map_batches(
             OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
             concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
@@ -104,6 +114,50 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
     ds = ds.map_batches(finalize_status, batch_format="pyarrow",
                         fn_kwargs={"tau_llm": TAU_LLM})
     return reassemble(ds)
+
+
+def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
+                         skew_threshold: int = 512,
+                         ocr_concurrency=(1, 8),
+                         skew_tail: str = "auto"):
+    """Shuffle-only-the-skew-tail extraction.
+
+    Documents with ≤ ``skew_threshold`` spans (the vast majority) run
+    through the doc-local map-only path (stages.doclocal) — zero
+    shuffle, linear scaling. The skew tail (huge PDFs) goes through the
+    exploded + groupby path where intra-document parallelism matters.
+    Union of the two is byte-identical to ``extract_spans`` (tested).
+
+    ``skew_tail="never"``: skip the tail branch entirely when an
+    ingestion-side span cap guarantees no document exceeds the
+    threshold (the reference's MAX_PAGES pattern, pipeline.py:1414;
+    ``config.MAX_PAGES`` here) — even an *empty* tail branch costs the
+    full shuffle machinery's fixed wall time.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.doclocal import DocLocalExtract
+
+    def small_only(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["spans"])
+        return batch.filter(pc.less_equal(n, skew_threshold))
+
+    def big_only(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["spans"])
+        return batch.filter(pc.greater(n, skew_threshold))
+
+    src = docs_ds if skew_tail == "never" \
+        else docs_ds.map_batches(small_only, batch_format="pyarrow")
+    small = src.map_batches(
+        DocLocalExtract, batch_format="pyarrow",
+        concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
+        fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref})
+    if skew_tail == "never":
+        return small
+    big = extract_spans(
+        docs_ds.map_batches(big_only, batch_format="pyarrow"),
+        media_lookup_ref=media_lookup_ref, ocr_concurrency=(1, 4))
+    return small.union(big)
 
 
 def extract_fields_per_doc(spans_ds):

@@ -205,6 +205,46 @@ def gen_corpus(n_docs: int, seed: int = 42, skew_upper: int = 300) -> tuple[pa.T
             pa.Table.from_pylist(media, schema=MEDIA_SCHEMA))
 
 
+def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 42,
+                          skew_upper: int = 300, num_files: int = 64) -> None:
+    """Ray-parallel corpus generation: one task per output file.
+
+    ``gen_doc`` is a pure function of (seed, doc_index), so file shards
+    generate independently and the result is byte-identical to the
+    sequential ``write_corpus`` with the same sharding. Requires an
+    initialized Ray session (callers that own one, e.g. bench.py).
+    """
+    import os
+
+    import ray.data as rd
+
+    docs_dir = os.path.join(out_dir, "documents_spans")
+    media_dir = os.path.join(out_dir, "media")
+    os.makedirs(docs_dir, exist_ok=True)
+    os.makedirs(media_dir, exist_ok=True)
+    per = (n_docs + num_files - 1) // num_files
+
+    def gen_file(batch):
+        for f in batch["id"].to_pylist():
+            lo, hi = f * per, min(n_docs, (f + 1) * per)
+            if lo >= hi:
+                continue
+            docs, media = [], []
+            for i in range(lo, hi):
+                d, m = gen_doc(seed, i, skew_upper)
+                docs.append(d)
+                media.extend(m)
+            pq.write_table(pa.Table.from_pylist(docs, schema=DOCS_SCHEMA),
+                           os.path.join(docs_dir, f"part-{f:04d}.parquet"))
+            pq.write_table(pa.Table.from_pylist(media, schema=MEDIA_SCHEMA),
+                           os.path.join(media_dir, f"part-{f:04d}.parquet"))
+        import pyarrow as _pa
+        return _pa.table({"done": _pa.array([len(batch["id"])], type=_pa.int64())})
+
+    rd.range(num_files).map_batches(gen_file, batch_size=1,
+                                    batch_format="pyarrow").count()
+
+
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42, skew_upper: int = 300,
                  num_files: int = 4) -> None:
     """Write partitioned parquet (documents_spans/, media/) under out_dir.

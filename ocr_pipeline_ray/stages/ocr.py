@@ -96,26 +96,40 @@ class OcrStage:
 
     def __init__(self, media_lookup_ref=None) -> None:
         # Warm-engine setup, once per actor (reference singleton pattern).
+        # The broadcast media table is ZERO-COPY from the object store —
+        # ray.get maps shared buffers; no per-actor dict materialization.
         if media_lookup_ref is not None:
             import ray
-            self.media: dict[str, bytes] | None = ray.get(media_lookup_ref)
+            self.media: pa.Table | None = ray.get(media_lookup_ref)
+            self.media_refs = self.media["media_ref"]
+            self.media_payloads = self.media["payload"]
         else:
             self.media = None
+
+    def _lookup_payloads(self, refs: pa.ChunkedArray) -> list[bytes | None]:
+        import pyarrow.compute as pc
+        idx = pc.index_in(refs, value_set=self.media_refs)
+        out: list[bytes | None] = []
+        for i in idx.to_pylist():
+            out.append(None if i is None else self.media_payloads[i].as_py())
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         status = batch["status"].to_pylist()
         texts = batch["text"].to_pylist()
         confs = batch["conf"].to_pylist()
-        refs = batch["media_ref"].to_pylist()
-        payloads = batch["payload"].to_pylist() if "payload" in batch.column_names else None
+
+        if "payload" in batch.column_names:
+            payloads = batch["payload"].to_pylist()
+        elif self.media is not None:
+            payloads = self._lookup_payloads(batch["media_ref"])
+        else:
+            payloads = [None] * batch.num_rows
 
         for i, st in enumerate(status):
             if st != "pending":
                 continue
-            if payloads is not None:
-                payload = payloads[i]
-            else:
-                payload = self.media.get(refs[i]) if self.media else None
+            payload = payloads[i]
             if payload is None:
                 texts[i], confs[i], status[i] = "", 0.0, "missing_media"
                 continue

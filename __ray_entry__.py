@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "distinct_part_types": relational.distinct_part_types,
         "part_brand_stats": relational.part_brand_stats,
+        "sorted_orders_top100": relational.sorted_orders_top100,
+        "orders_join_customer_stats": relational.orders_join_customer_stats,
+        "distinct_lang_source": relational.distinct_lang_source,
+        "sample_documents": relational.sample_documents,
         # stream-shaped
         "events_hourly": windows.events_hourly,
         "events_user_stats": windows.events_user_stats,
@@ -243,6 +247,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_part_types": """
             SELECT DISTINCT p_type FROM part ORDER BY p_type
+        """,
+        "sorted_orders_top100": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "orders_join_customer_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                   / 1000000.0 AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "distinct_lang_source": """
+            SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+        """,
+        "sample_documents": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+            ORDER BY doc_id
         """,
         "part_brand_stats": """
             SELECT p_brand,

@@ -324,6 +324,95 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+# --- global sort (the Ray AllToAll sort operator itself) ---
+
+def sorted_orders_top100(sf_dir: str) -> pd.DataFrame:
+    """True distributed sort (``ds.sort`` range-partitioned AllToAll) →
+    limit. top10_orders_by_price shows the cheap per-batch-top-k
+    pattern; this one exercises the engine's global sort operator."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(100).to_pandas()
+    return out.reset_index(drop=True)
+
+
+# --- hash join (Dataset.join) ---
+
+def orders_join_customer_stats(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer via the hash-partitioned ``Dataset.join`` →
+    per-segment order count + exact total. (The broadcast pattern in
+    q3/q5 is usually better for a small dimension side; this entry
+    exercises the shuffle join itself.)"""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "price_i", pa.array(_i64(t["o_totalprice"].to_numpy()),
+                                type=pa.int64()))
+
+    orders = orders.map_batches(quantize, batch_format="pyarrow") \
+        .select_columns(["o_custkey", "price_i"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(customer, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",),
+                         aggregator_ray_remote_args={"num_cpus": 0.1})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pylist(),
+                           "price_i": t["price_i"].to_numpy()})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_i", "size"), price_i=("price_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(joined, partial, keys=["c_mktsegment"],
+                        agg_spec={"n_orders": ("n_orders", "sum"),
+                                  "price_i": ("price_i", "sum")})
+    out["total_price"] = out["price_i"] / SCALE
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out[["c_mktsegment", "n_orders", "total_price"]]
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# --- multi-column distinct ---
+
+def distinct_lang_source(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT over two columns: per-batch drop_duplicates partials →
+    driver dedup (the distinct-via-partials pattern; single-column
+    distinct uses ds.unique in distinct_part_types)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    frames = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pandas")]
+    out = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+# --- seeded sampling (rows-only: sampler is engine-defined) ---
+
+def sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20% systematic sample (doc_id % 5 == 0): stable
+    across engines and re-runs, unlike ds.random_sample whose seeded
+    stream is engine-version-defined. For key-hash sampling at scale
+    use crc32(key) % k inside the same map_batches shape."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 5 == 0))
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --- distinct ---
 
 def distinct_part_types(sf_dir: str) -> pd.DataFrame:

@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_customer_stats": relational.orders_join_customer_stats,
         "distinct_lang_source": relational.distinct_lang_source,
         "sample_documents": relational.sample_documents,
+        "region_nation_counts": relational.region_nation_counts,
+        "supplier_nation_stats": relational.supplier_nation_stats,
         # stream-shaped
         "events_hourly": windows.events_hourly,
         "events_user_stats": windows.events_user_stats,
@@ -269,6 +271,21 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
             ORDER BY doc_id
+        """,
+        "region_nation_counts": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "supplier_nation_stats": """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   sum(CAST(floor(s_acctbal * 1000000 + 0.5) AS BIGINT))
+                   / 1000000.0 AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "part_brand_stats": """
             SELECT p_brand,

@@ -413,6 +413,46 @@ def sample_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# --- dimension-chain rollups (cover region + supplier tables) ---
+
+def region_nation_counts(sf_dir: str) -> pd.DataFrame:
+    """region ⋈ nation rollup: nations per region (broadcast join of two
+    tiny dimension tables — read driver-side, compute distributed-free;
+    the degenerate-but-correct plan for dimension-only queries)."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    out = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey") \
+        .groupby("r_name", as_index=False).agg(n_nations=("n_nationkey", "size"))
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation: per-nation supplier count + exact balance sum."""
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"s_nationkey": t["s_nationkey"].to_numpy(),
+                           "bal_i": _i64(t["s_acctbal"].to_numpy())})
+        g = df.groupby("s_nationkey", as_index=False).agg(
+            n_suppliers=("bal_i", "size"), bal_i=("bal_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_merge(ds, partial, keys=["s_nationkey"],
+                        agg_spec={"n_suppliers": ("n_suppliers", "sum"),
+                                  "bal_i": ("bal_i", "sum")})
+    out["n_name"] = out["s_nationkey"].map(name_of)
+    out["total_acctbal"] = out["bal_i"] / SCALE
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out = out[["n_name", "n_suppliers", "total_acctbal"]]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 # --- distinct ---
 
 def distinct_part_types(sf_dir: str) -> pd.DataFrame:

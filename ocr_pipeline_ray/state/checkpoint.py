@@ -33,7 +33,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..pipelines.extract import build_media_lookup, extract_spans
+from ..pipelines.extract import (build_media_lookup, extract_spans,
+                                 extract_spans_hybrid)
 
 
 def _part_of(doc_id: str, num_parts: int) -> int:
@@ -85,7 +86,9 @@ def run_partitioned(corpus_dir: str, out_dir: str, num_parts: int = 8) -> dict:
         docs = rd.read_parquet(os.path.join(corpus_dir, "documents_spans"))
         docs = docs.map_batches(partition_filter(num_parts, pid),
                                 batch_format="pyarrow")
-        spans = extract_spans(docs, media_lookup_ref=media_ref)
+        # hybrid path: byte-identical to extract_spans (tested), no
+        # shuffle for ordinary docs → a partition is one map pass
+        spans = extract_spans_hybrid(docs, media_lookup_ref=media_ref)
         tmp_dir = os.path.join(out_dir, f"_tmp_part={pid}")
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)  # stale temp from a killed run

@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": windows.events_hourly,
         "events_user_stats": windows.events_user_stats,
         "events_sessions": windows.events_sessions,
+        "events_sessions_streaming": windows.events_sessions_streaming,
         "events_running_total": windows.events_running_total,
         "errors_with_last_signup": windows.errors_with_last_signup,
         # text analysis
@@ -317,6 +318,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   count(*) AS n_events,
+                   epoch(max(ts) - min(ts)) AS duration_s
+            FROM numbered
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "events_sessions_streaming": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,
                        CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE

@@ -8,10 +8,10 @@
 Media-payload resolution has two strategies:
 
 - ``broadcast`` (default when the media table fits in memory): the
-  ``media_ref → payload`` dict is ``ray.put`` ONCE on the driver and
-  each OCR actor ``ray.get``s it in ``__init__`` — the classic
-  small-side broadcast join; zero shuffle, payloads shipped to each
-  node once, not per batch.
+  ``(media_ref, payload)`` Arrow table is ``ray.put`` ONCE on the
+  driver and each OCR actor maps it zero-copy in ``__init__`` — the
+  classic small-side broadcast join; zero shuffle, payloads shipped to
+  each node once, not per batch.
 - ``join`` (the 100 TB path, media table too big to broadcast): a
   hash-partitioned ``Dataset.join`` on ``media_ref`` co-locates span
   rows with payloads; only media-kind rows enter the join (text rows
@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import (MEDIA_JOIN_BUCKETS, OCR_ACTOR_NUM_CPUS, OCR_BATCH_SIZE,
-                      TAU_ENHANCE, TAU_LLM, TEXT_BATCH_SIZE)
+                      TAU_ENHANCE, TAU_LLM)
 from ..stages.classify import classify_spans
 from ..stages.explode import explode_spans
 from ..stages.ocr import OcrStage, enhance_low_conf, finalize_status

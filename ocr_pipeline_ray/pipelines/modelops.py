@@ -17,7 +17,6 @@ import ray.data as rd
 from ..functions import calibration
 from ..stages import multimodal
 from ..stages.ensemble import ensemble_merge
-from .extract import build_media_lookup  # noqa: F401  (re-export convenience)
 
 
 def _corpus(sf_dir: str) -> str:

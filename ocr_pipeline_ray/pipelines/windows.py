@@ -108,6 +108,17 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
+    """Same sessionization semantics as events_sessions, computed by the
+    incremental keyed-actor operator (stages.streaming) — the bounded-
+    state streaming path; results are identical (tested), and the same
+    oracle SQL applies."""
+    from ..stages.streaming import sessionize_streaming
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    return sessionize_streaming(ds, gap_minutes=30, num_buckets=4)
+
+
 def errors_with_last_signup(sf_dir: str) -> pd.DataFrame:
     """As-of join: each 'error' event matched to the same user's most
     recent prior-or-equal 'signup' event (pd.merge_asof per user group)."""

@@ -22,7 +22,6 @@ results — "shuffle only the skew tail".
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import TAU_ENHANCE, TAU_LLM

@@ -97,8 +97,6 @@ def reassemble_salted(ds, salt_buckets: int = 8):
     Salt = crc32(span offset) so a single doc's spans spread evenly.
     Byte-identical to ``reassemble`` (asserted in tests).
     """
-    import pyarrow.compute as _pc
-
     ds = ds.map_batches(filter_keep, batch_format="pyarrow")
 
     def add_salt(batch: pa.Table) -> pa.Table:

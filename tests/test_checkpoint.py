@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import json
 import os
 
 import pandas as pd
@@ -33,8 +32,6 @@ def test_partitioned_run_resume_and_equality(small_corpus, out_dirs):
     assert sorted(r1["completed"]) == [0, 1, 2, 3]
 
     # "killed" run: only partitions 0 and 1 committed...
-    import ray.data  # noqa: F401
-    from ocr_pipeline_ray.pipelines.extract import build_media_lookup
     r_partial = checkpoint.run_partitioned(small_corpus, resumed_dir, num_parts=4)
     # simulate the kill retroactively: delete partitions 2,3 commits
     for pid in (2, 3):

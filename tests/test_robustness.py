@@ -14,7 +14,6 @@ import pytest
 from ocr_pipeline_ray.functions.accuracy import (char_accuracy,
                                                  field_exact_match,
                                                  word_hit_rate)
-from ocr_pipeline_ray.functions.charfix import fix_text
 from ocr_pipeline_ray.sources.synth import _corrupt_text
 from ocr_pipeline_ray.stages import media_stub
 from ocr_pipeline_ray.stages.ocr import line_confidence, ocr_page

@@ -8,7 +8,7 @@ import pytest
 import ray.data as rd
 
 from ocr_pipeline_ray.functions import calibration
-from ocr_pipeline_ray.stages import media_stub, multimodal
+from ocr_pipeline_ray.stages import multimodal
 from ocr_pipeline_ray.stages.ensemble import ensemble_merge, vote_merge_tokens
 
 

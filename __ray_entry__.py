@@ -472,9 +472,13 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_consecutive": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
             SELECT a.doc_id AS doc_id,
-                   len(list_intersect(a.shingles, b.shingles)) * 1.0
-                   / (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles))) AS jaccard_next
+                   CASE WHEN len(a.shingles) + len(b.shingles)
+                             - len(list_intersect(a.shingles, b.shingles)) = 0
+                        THEN 0.0
+                        ELSE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                             / (len(a.shingles) + len(b.shingles)
+                                - len(list_intersect(a.shingles, b.shingles)))
+                   END AS jaccard_next
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY a.doc_id
         """,

@@ -70,13 +70,31 @@ def _fix_confusable_word(m: re.Match[str]) -> str:
     return word
 
 
-def fix_text(text: str) -> str:
-    """Apply F3 → F2 → F1 in canonical order; byte-stable and idempotent."""
+def _fix_once(text: str) -> str:
     for pat, repl in _F3_RULES:
         text = pat.sub(repl, text)
     for pat, repl in _F2_RULES:
         text = pat.sub(repl, text)
     return _CONFUSABLE_WORD.sub(_fix_confusable_word, text)
+
+
+def fix_text(text: str) -> str:
+    """Apply F3 → F2 → F1 in canonical order, iterated to a fixpoint.
+
+    A single pass is NOT idempotent: an F2 substitution can mint a new
+    digit that enables a further F2/F1 match on the neighbouring char
+    (e.g. ``'eB84S|0'`` → ``'eB84S10'`` → ``'eB84510'``).  Each pass
+    either strictly increases the digit count or rewrites an F3 keyword
+    (both bounded by ``len(text)``), so the loop terminates; in practice
+    it converges in ≤3 passes.  The fixpoint makes ``fix_text`` byte-
+    stable and idempotent regardless of batch/partition boundaries —
+    required for span-sequence equality (tests/test_properties.py).
+    """
+    while True:
+        fixed = _fix_once(text)
+        if fixed == text:
+            return fixed
+        text = fixed
 
 
 def fix_texts(texts: list[str]) -> list[str]:

@@ -83,9 +83,14 @@ def token_shingles(text: str, k: int = 3) -> list[str]:
 
 
 def jaccard(a: list[str], b: list[str]) -> float:
+    """Jaccard over shingle sets; both-empty → 0.0 (NOT 1.0): docs with
+    no shingles (<k tokens) carry no similarity evidence, and 1.0 would
+    declare every pair of short docs a near-duplicate (they also share
+    the all-zero MinHash signature, so LSH would emit them all). The
+    DuckDB oracles guard the zero denominator identically."""
     sa, sb = set(a), set(b)
     if not sa and not sb:
-        return 1.0
+        return 0.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
 
@@ -145,6 +150,25 @@ def lsh_band_keys(sig: list[int], bands: int = 32) -> list[str]:
         for col in range(r):
             acc = (acc ^ s[:, col]) * np.uint64(0x100000001B3)
     return [f"{bi}:{int(acc[bi]):016x}" for bi in range(bands)]
+
+
+def lsh_band_ints(sig: list[int], bands: int = 32) -> list[int]:
+    """Same band fold as ``lsh_band_keys`` but emitted as int64 shuffle
+    keys (band index mixed in): Ray's sort-based groupby on int64 is
+    far cheaper than on utf8 keys. Cross-band fold collisions are
+    harmless — they only add candidate pairs that exact verification
+    rejects."""
+    import numpy as np
+
+    r = len(sig) // bands
+    s = np.asarray(sig, dtype=np.uint64).reshape(bands, r)
+    acc = np.full(bands, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(r):
+            acc = (acc ^ s[:, col]) * np.uint64(0x100000001B3)
+        acc = acc ^ (np.arange(bands, dtype=np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))
+    return acc.view(np.int64).tolist()
 
 
 def simhash64(toks: list[str]) -> int:

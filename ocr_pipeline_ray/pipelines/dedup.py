@@ -1,16 +1,21 @@
 """Deduplication family: exact, MinHash+LSH near-dup, SimHash, n-gram
 Jaccard — first-class operators for a 100 TB training-data pipeline.
 
-Scale design:
+Scale design (every stage distributed; nothing corpus-sized touches the
+driver):
 - exact dedup = content-hash column (vectorized map_batches) +
   hash-partitioned groupby + per-group first — one shuffle of keys.
-- near-dup = shingle → MinHash signature per batch → explode to
-  (band_key, doc_id) rows → groupby(band_key) buckets → candidate
-  pairs only within buckets → exact-Jaccard verification of the
-  (tiny) candidate set. The all-pairs O(n²) never happens; LSH bands
-  bound the comparison count.
-- SimHash = 64-bit signature per doc, near-dups = small Hamming
-  distance within LSH-style prefix buckets.
+- MinHash near-dup = shingle → MinHash signature per batch → explode to
+  (band_key:int64, doc_id) rows → ``groupby(band_key)`` buckets →
+  candidate pairs emitted *inside each bucket task* → exact-Jaccard
+  verification of the (tiny, collision-bounded) candidate set, whose
+  texts are fetched with a broadcast semi-join (``pc.is_in`` filter on
+  a second corpus scan — only candidate docs' shingles ever
+  materialize). The all-pairs O(n²) never happens; the band table never
+  leaves the cluster.
+- SimHash = 64-bit signature per doc; 9 prefix bands (widths 8+7×8 =
+  64) so by pigeonhole ANY pair at Hamming distance ≤ 8 shares at
+  least one clean band → bucket groupby finds all of them.
 
 For driver-gate determinism the corpus is augmented with seeded
 duplicate copies (doc_id+100000, text prefixed "dup ") — constructed
@@ -22,8 +27,10 @@ equals the oracle's exhaustive cross-join answer.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -32,6 +39,12 @@ from ..functions import textstats as ts
 N_DUP_DOCS = 10
 DUP_OFFSET = 100_000
 JACCARD_THRESHOLD = 0.8
+
+# Guard, not a sizing assumption: the *candidate pair* set is bounded by
+# real near-dups + band collisions (≪ corpus; the band table itself stays
+# distributed). If a pathological corpus trips this, raise the LSH band
+# rows-per-band (fewer collisions) or verify pairs fully distributed.
+MAX_DRIVER_PAIRS = 5_000_000
 
 
 def _augmented_docs(sf_dir: str):
@@ -81,104 +94,168 @@ def exact_dedup_augmented(sf_dir: str) -> pd.DataFrame:
 
 
 def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH candidate generation + exact-Jaccard verification.
+    """MinHash+LSH candidate generation + exact-Jaccard verification,
+    fully distributed.
+
+    Stages:
+    1. per batch: shingle → 128-perm MinHash → 32 (band_key, doc_id)
+       rows per doc (band_key is an int64 fold — int shuffle keys are
+       far cheaper than utf8 for Ray's sort-based groupby). Docs with
+       no shingles are skipped: they carry no similarity evidence and
+       would otherwise all share the zero signature.
+    2. ``groupby(band_key)`` → candidate pairs emitted per bucket task
+       (the band table is never concatenated on the driver).
+    3. the deduplicated pair list (tiny, collision-bounded — guarded by
+       ``MAX_DRIVER_PAIRS``) drives a broadcast semi-join: a second
+       corpus scan keeps only candidate docs (``pc.is_in``) and emits
+       their shingle sets, so only candidates' shingles materialize.
+    4. exact Jaccard per pair (int/int division — bit-identical to the
+       oracle), threshold, sort.
 
     Returns all pairs (a < b) with token-3-shingle Jaccard ≥ 0.8 over
     the augmented corpus: (doc_a, doc_b, jaccard) — equal to the
     oracle's exhaustive answer because LSH recall at this threshold is
     ~1 by construction.
     """
-    ds = _augmented_docs(sf_dir)
-
     def band_rows(batch: pa.Table) -> pa.Table:
         out_band, out_doc = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = ts.minhash_signature(ts.token_shingles(text), num_perms=128)
-            for key in ts.lsh_band_keys(sig, bands=32):
-                out_band.append(key)
-                out_doc.append(did)
-        return pa.table({"band_key": pa.array(out_band, type=pa.string()),
+            shingles = ts.token_shingles(text)
+            if not shingles:
+                continue
+            sig = ts.minhash_signature(shingles, num_perms=128)
+            out_band.extend(ts.lsh_band_ints(sig, bands=32))
+            out_doc.extend([did] * 32)
+        return pa.table({"band_key": pa.array(out_band, type=pa.int64()),
                          "doc_id": pa.array(out_doc, type=pa.int64())})
 
-    # Candidate generation: the distributed pass already collapsed each
-    # doc to 32 (band_key, doc_id) rows; that table is tiny relative to
-    # the corpus (32 rows/doc, two narrow columns), so the bucket
-    # self-join runs on the driver with one pandas merge. At a scale
-    # where even the band table is too big for the driver, swap this
-    # for groupby(band_key) + per-bucket pair emission (same result,
-    # one more shuffle) — the threshold guard below enforces it.
-    band_df = pd.concat(
-        list(ds.map_batches(band_rows, batch_format="pyarrow")
-             .iter_batches(batch_format="pandas")), ignore_index=True)
-    assert len(band_df) < 50_000_000, "band table too large for driver merge"
-    cand = band_df.merge(band_df, on="band_key")
-    candidates = cand[cand["doc_id_x"] < cand["doc_id_y"]] \
-        .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}) \
-        [["doc_a", "doc_b"]].drop_duplicates()
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64")})
 
-    # Verification: candidate set is tiny (bounded by band collisions);
-    # read only the text columns, straight from parquet.
-    import pyarrow.parquet as _pq
-    base = _pq.read_table(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
-    text_of = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
-    for i in list(text_of):
-        if i < N_DUP_DOCS:
-            text_of[i + DUP_OFFSET] = "dup " + text_of[i]
-    needed = set(candidates["doc_a"]) | set(candidates["doc_b"])
-    shingle_of = {d: ts.token_shingles(text_of[d]) for d in needed}
-    rows = []
-    for a, b in zip(candidates["doc_a"], candidates["doc_b"]):
-        # unrounded: int/int division is bit-identical to the oracle's
-        j = ts.jaccard(shingle_of[a], shingle_of[b])
-        if j >= JACCARD_THRESHOLD:
-            rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard": j})
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    pairs = _augmented_docs(sf_dir) \
+        .map_batches(band_rows, batch_format="pyarrow") \
+        .groupby("band_key").map_groups(emit_pairs, batch_format="pandas") \
+        .to_pandas()
+    assert len(pairs) <= MAX_DRIVER_PAIRS, "candidate pairs exceed driver guard"
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    # Broadcast semi-join: only candidate docs survive the second scan;
+    # their shingle sets are the only per-doc state that materializes.
+    cand_ids = pa.array(
+        sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), type=pa.int64())
+
+    def pick_shingles(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
+        return pa.table({
+            "doc_id": hit["doc_id"],
+            "shingles": pa.array(
+                [ts.token_shingles(t) for t in hit["text"].to_pylist()],
+                type=pa.list_(pa.string())),
+        })
+
+    sh_tbl = pa.concat_tables(
+        b for b in _augmented_docs(sf_dir)
+        .map_batches(pick_shingles, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    sh_ref = ray.put(sh_tbl.combine_chunks())
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(sh_ref)  # zero-copy Arrow from the object store
+        sh_col = tbl["shingles"]
+        ia = pc.index_in(batch["doc_a"], value_set=tbl["doc_id"]).to_pylist()
+        ib = pc.index_in(batch["doc_b"], value_set=tbl["doc_id"]).to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b, i, j in zip(batch["doc_a"].to_pylist(),
+                              batch["doc_b"].to_pylist(), ia, ib):
+            # unrounded: int/int division is bit-identical to the oracle's
+            jac = ts.jaccard(sh_col[i].as_py(), sh_col[j].as_py())
+            if jac >= JACCARD_THRESHOLD:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    out = rd.from_pandas(pairs).map_batches(verify, batch_format="pyarrow") \
+        .to_pandas()
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def jaccard_consecutive(sf_dir: str) -> pd.DataFrame:
-    """n-gram-Jaccard similarity of each doc vs the next doc_id —
-    a deterministic, SQL-checkable exercise of the shingle+Jaccard
-    kernel over the whole corpus (broadcast next-doc lookup)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    all_docs = pa.parquet.read_table(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id", "text"])
-    text_ref = ray.put(dict(zip(all_docs["doc_id"].to_pylist(),
-                                all_docs["text"].to_pylist())))
+    """n-gram-Jaccard similarity of each doc vs the next doc_id — a
+    deterministic, SQL-checkable exercise of the shingle+Jaccard kernel
+    over the whole corpus.
+
+    The next-doc text arrives via a hash-partitioned ``Dataset.join``
+    on ``doc_id == next.doc_id - 1`` (the right side is the same scan
+    with a shifted key) — NOT a whole-corpus broadcast dict, which at
+    100 TB would ship the full text column to every task."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def shift_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_id": pc.subtract(batch["doc_id"], pa.scalar(1, pa.int64())),
+            "next_text": batch["text"],
+        })
+
+    nxt = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]) \
+        .map_batches(shift_key, batch_format="pyarrow")
+    joined = docs.join(nxt, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("prev_id",),
+                       aggregator_ray_remote_args={"num_cpus": 0.1})
 
     def sim(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
-        ids, js = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            nxt = lookup.get(did + 1)
-            if nxt is None:
-                continue
-            ids.append(did)
-            js.append(ts.jaccard(ts.token_shingles(text),
-                                 ts.token_shingles(nxt)))
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+        js = [ts.jaccard(ts.token_shingles(a), ts.token_shingles(b))
+              for a, b in zip(batch["text"].to_pylist(),
+                              batch["next_text"].to_pylist())]
+        return pa.table({"doc_id": batch["doc_id"],
                          "jaccard_next": pa.array(js, type=pa.float64())})
 
-    out = ds.map_batches(sim, batch_format="pyarrow").to_pandas()
+    out = joined.map_batches(sim, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# SimHash prefix bands: widths 8+7×8 = 64 bits in 9 bands. Pigeonhole:
+# a pair at Hamming distance ≤ 8 differs in at most 8 bands, so at
+# least one of the 9 bands is identical → the bucket groupby finds
+# every such pair (the guarantee matches the distance threshold below).
+_SIMHASH_BAND_OFFSETS = (0, 8, 15, 22, 29, 36, 43, 50, 57)
+_SIMHASH_BAND_WIDTHS = (8, 7, 7, 7, 7, 7, 7, 7, 7)
+SIMHASH_MAX_HAMMING = 8
 
 
 def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup: 64-bit signatures over the augmented corpus,
-    pairs at Hamming distance ≤ 8 found via 4×16-bit prefix-band
-    buckets (any pair within distance ≤ 3 must share ≥1 band; the
-    injected dups share nearly all bits). Rows-only check (no SQL
-    oracle — bit-level hashing is not SQL-expressible)."""
+    pairs at Hamming distance ≤ 8 found via 9 prefix bands (widths
+    8+7×8; pigeonhole ⇒ complete for d ≤ 8 — see band constants).
+    Rows-only check (no SQL oracle — bit-level hashing is not
+    SQL-expressible); completeness vs a brute-force oracle is asserted
+    in tests."""
     ds = _augmented_docs(sf_dir)
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         bands_out, docs_out, sigs_out = [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             h = ts.simhash64(text.split(" "))
-            for b in range(4):
-                bands_out.append(f"{b}:{(h >> (16 * b)) & 0xFFFF:04x}")
+            for b, (off, width) in enumerate(zip(_SIMHASH_BAND_OFFSETS,
+                                                 _SIMHASH_BAND_WIDTHS)):
+                bits = (h >> off) & ((1 << width) - 1)
+                bands_out.append(f"{b}:{bits:02x}")
                 docs_out.append(did)
                 sigs_out.append(h)
         return pa.table({"band_key": pa.array(bands_out, type=pa.string()),
@@ -193,7 +270,7 @@ def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 d = ts.hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= 8:
+                if d <= SIMHASH_MAX_HAMMING:
                     out.append({"doc_a": ids[i], "doc_b": ids[j], "hamming": d})
         if not out:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),

@@ -74,7 +74,7 @@ class TestTextstats:
     def test_jaccard_bounds(self):
         assert ts.jaccard(["a"], ["a"]) == 1.0
         assert ts.jaccard(["a"], ["b"]) == 0.0
-        assert ts.jaccard([], []) == 1.0
+        assert ts.jaccard([], []) == 0.0  # no shingles → no evidence
 
     def test_minhash_similar_docs_share_bands(self):
         a = ts.token_shingles("the quick brown fox jumps over the lazy dog today")

@@ -38,7 +38,8 @@ def test_jaccard_bounds_and_symmetry(a, b):
     j = ts.jaccard(a, b)
     assert 0.0 <= j <= 1.0
     assert j == ts.jaccard(b, a)
-    assert ts.jaccard(a, a) == 1.0
+    # self-similarity is 1.0 except the no-evidence (empty-set) case
+    assert ts.jaccard(a, a) == (1.0 if a else 0.0)
 
 
 @settings(max_examples=50, deadline=None)

@@ -103,87 +103,122 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-# --- q3: broadcast-join shipping priority ---
+# --- q3: semi-join + hash-join shipping priority ---
 
-def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
-    """BUILDING-segment customers ⋈ orders ⋈ lineitem → top-10 revenue.
-
-    Both dimension sides are small after filtering → broadcast pattern:
-    ray.put once, look up inside map_batches (no shuffle join)."""
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist())
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    omask = pc.is_in(orders["o_custkey"],
-                     value_set=pa.array(list(building), type=pa.int64()))
-    orders_b = orders.filter(omask)
-    odate = dict(zip(orders_b["o_orderkey"].to_pylist(),
-                     orders_b["o_orderdate"].to_pylist()))
-    odate_ref = ray.put(set(odate))
-
+def _li_rev_partial(sf_dir: str):
+    """lineitem → per-batch pre-aggregated (l_orderkey, rev_i): the
+    combiner runs before the shuffle, so the join moves one row per
+    (orderkey, batch) instead of per lineitem."""
     ds = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        keys_ok = ray.get(odate_ref)
-        keys = t["l_orderkey"].to_numpy()
-        mask = np.fromiter((k in keys_ok for k in keys), dtype=bool, count=len(keys))
-        ext = t["l_extendedprice"].to_numpy()[mask]
-        disc = t["l_discount"].to_numpy()[mask]
-        df = pd.DataFrame({"l_orderkey": keys[mask],
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
                            "rev_i": _i64(ext * (1 - disc))})
         g = df.groupby("l_orderkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_order = partial_merge(ds, partial, keys=["l_orderkey"],
-                              agg_spec={"rev_i": ("rev_i", "sum")})
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """BUILDING-segment customers ⋈ orders ⋈ lineitem → top-10 revenue.
+
+    Scale shape (orders is a FACT table — 1.5B rows at sf1000 — so no
+    orders-keyed driver dict / broadcast set anywhere):
+    1. orders left_semi customer(BUILDING) — hash-partitioned;
+    2. lineitem (pre-aggregated per batch) inner-join the surviving
+       orders on orderkey — the join hash-partitions by key, so each
+       output partition holds ALL rows of its orderkeys;
+    3. per-partition (batch_size=None ⇒ whole block) final sum +
+       local top-10 → driver merges num_partitions × 10 rows."""
+    cust_b = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_b = orders.join(cust_b, join_type="left_semi", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",),
+                           aggregator_ray_remote_args={"num_cpus": 0.1}) \
+        .select_columns(["o_orderkey", "o_orderdate"])
+
+    joined = _li_rev_partial(sf_dir).join(
+        orders_b, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.1})
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(),
+            "rev_i": t["rev_i"].to_numpy(),
+            "o_orderdate": t["o_orderdate"].to_pandas(),
+        })
+        g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_i"].sum()
+        return pa.Table.from_pandas(
+            g.sort_values(["rev_i", "l_orderkey"],
+                          ascending=[False, True]).head(10),
+            preserve_index=False)
+
+    # batch_size=None: one batch per join partition → per-key totals are
+    # complete inside the task (hash-partitioning invariant of the join)
+    tops = [b for b in joined.map_batches(part_topk, batch_format="pyarrow",
+                                          batch_size=None)
+            .iter_batches(batch_format="pandas")]
+    per_order = pd.concat(tops, ignore_index=True) if tops else \
+        pd.DataFrame(columns=["l_orderkey", "o_orderdate", "rev_i"])
     per_order["revenue"] = per_order["rev_i"] / SCALE
     # timestamps leave as strings so value hashing is resolution-proof
-    per_order["o_orderdate"] = per_order["l_orderkey"].map(
-        lambda k: odate[k].strftime("%Y-%m-%d %H:%M:%S"))
+    per_order["o_orderdate"] = pd.to_datetime(per_order["o_orderdate"]) \
+        .dt.strftime("%Y-%m-%d %H:%M:%S")
     top = per_order.sort_values(["revenue", "l_orderkey"],
                                 ascending=[False, True]).head(10)
     return top[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
-# --- q5: nation revenue via broadcast dimension chain ---
+# --- q5: nation revenue: broadcast the DIMENSION, join the FACTS ---
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """region→nation→customer→orders dimension chain broadcast onto the
-    lineitem fact scan; revenue grouped by nation name."""
+    """region→nation→customer→orders chain onto the lineitem fact scan.
+
+    customer and nation are dimension tables → broadcast as zero-copy
+    Arrow (ray.put once, pc.index_in per batch; at a scale where even
+    customer outgrows workers, swap the map for another hash join).
+    orders⋈lineitem is FACT⋈FACT → hash-partitioned ``Dataset.join``,
+    never an orders-keyed dict (1.5B entries at sf1000). The final
+    rollup is 25 keys → per-batch partials + driver merge."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
     nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
                            nation["n_name"].to_pylist()))
-    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
-                           cust["c_nationkey"].to_pylist()))
-    order_nation = {
-        ok: cust_nation[ck]
-        for ok, ck in zip(orders["o_orderkey"].to_pylist(),
-                          orders["o_custkey"].to_pylist())
-        if ck in cust_nation
-    }
-    lookup_ref = ray.put(order_nation)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_ref = ray.put(cust.combine_chunks())
 
-    ds = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
+    def attach_nation(t: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)  # zero-copy from the object store
+        idx = pc.index_in(t["o_custkey"], value_set=c["c_custkey"])
+        out = pa.table({"o_orderkey": t["o_orderkey"],
+                        "n_nationkey": pc.take(c["c_nationkey"], idx)})
+        # inner-join semantics: drop orders with no matching customer
+        return out.filter(pc.is_valid(out["n_nationkey"]))
+
+    orders_nat = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(attach_nation, batch_format="pyarrow")
+
+    joined = _li_rev_partial(sf_dir).join(
+        orders_nat, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.1})
 
     def partial(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = t["l_orderkey"].to_numpy()
-        nk = np.fromiter((lookup.get(k, -1) for k in keys), dtype=np.int64,
-                         count=len(keys))
-        ext = t["l_extendedprice"].to_numpy()
-        disc = t["l_discount"].to_numpy()
-        df = pd.DataFrame({"n_nationkey": nk, "rev_i": _i64(ext * (1 - disc))})
-        df = df[df["n_nationkey"] >= 0]
+        df = pd.DataFrame({"n_nationkey": t["n_nationkey"].to_numpy(),
+                           "rev_i": t["rev_i"].to_numpy()})
         g = df.groupby("n_nationkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = partial_merge(ds, partial, keys=["n_nationkey"],
+    out = partial_merge(joined, partial, keys=["n_nationkey"],
                         agg_spec={"rev_i": ("rev_i", "sum")})
     out["n_name"] = out["n_nationkey"].map(nation_name)
     out["revenue"] = out["rev_i"] / SCALE
@@ -259,54 +294,64 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-# --- semi-join via broadcast key set ---
+# --- semi-join via FACT⋈FACT hash join + per-partition distinct ---
 
 def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
     """Orders with ≥1 lineitem shipped >60 days after order date,
-    counted per priority. Semi-join: the qualifying key set is built on
-    the fact scan, broadcast, then applied to orders."""
-    orders = pq.read_table(
+    counted per priority.
+
+    orders is fact-sized, so the order dates travel through a
+    hash-partitioned ``Dataset.join`` (never an all-orders driver
+    dict). The join co-locates every lineitem of an orderkey in one
+    output partition, so the EXISTS-dedup (distinct orderkey) is a
+    per-partition ``drop_duplicates`` (batch_size=None ⇒ whole block)
+    and the final rollup is 5 bounded keys → partial merge."""
+    li = _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
-    odate_ref = ray.put(dict(zip(orders["o_orderkey"].to_pylist(),
-                                 orders["o_orderdate"].to_pylist())))
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args={"num_cpus": 0.1})
 
-    ds = _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+    def late_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        odate = t["o_orderdate"].to_numpy()
+        late = (ship - odate) > np.timedelta64(60 * 86400, "s")
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy()[late],
+            "o_orderpriority": pd.Series(t["o_orderpriority"].to_pylist(),
+                                         dtype="object")[late].to_numpy(),
+        }).drop_duplicates("l_orderkey")  # block-complete per orderkey
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("l_orderkey", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def qualifying(t: pa.Table) -> pa.Table:
-        lookup = ray.get(odate_ref)
-        keys = t["l_orderkey"].to_pylist()
-        ships = t["l_shipdate"].to_pylist()
-        late = {k for k, s in zip(keys, ships)
-                if k in lookup
-                and (s - lookup[k]).total_seconds() > 60 * 86400}
-        return pa.table({"o_orderkey": pa.array(sorted(late), type=pa.int64())})
-
-    late_keys = set()
-    for b in ds.map_batches(qualifying, batch_format="pyarrow",
-                            batch_size=65536).iter_batches(batch_format="pyarrow"):
-        late_keys.update(b["o_orderkey"].to_pylist())
-
-    df = orders.to_pandas()
-    df = df[df["o_orderkey"].isin(late_keys)]
-    out = df.groupby("o_orderpriority", as_index=False).agg(
-        n_orders=("o_orderkey", "size"))
+    out = partial_merge(joined, late_partial, keys=["o_orderpriority"],
+                        agg_spec={"n_orders": ("n_orders", "sum")},
+                        batch_size=None)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-# --- anti-join via broadcast key set ---
+# --- anti-join (Dataset.join left_anti) ---
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    with_orders = ray.put(set(orders["o_custkey"].to_pylist()))
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
+    """customer ANTI orders on custkey via the hash-partitioned
+    ``left_anti`` join (no broadcast of the fact-sized orders key set);
+    the orders side is pre-deduped per batch to shrink the shuffle."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(with_orders)
-        mask = [k not in keys for k in t["c_custkey"].to_pylist()]
-        return t.filter(pa.array(mask))
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    order_keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    anti = cust.join(order_keys, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",),
+                     aggregator_ray_remote_args={"num_cpus": 0.1})
 
     def count_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pylist()})
@@ -314,8 +359,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
             n_customers=("c_mktsegment", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = partial_merge(ds.map_batches(anti, batch_format="pyarrow"),
-                        count_partial, keys=["c_mktsegment"],
+    out = partial_merge(anti, count_partial, keys=["c_mktsegment"],
                         agg_spec={"n_customers": ("n_customers", "sum")})
     if out.empty:  # empty aggregates lose their schema on to_pandas
         return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),

@@ -44,9 +44,22 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def token_frequency_top20(sf_dir: str) -> pd.DataFrame:
-    """Global top-20 tokens: per-batch partial counts → tiny groupby →
-    deterministic (count desc, token asc) top-k."""
+def token_frequency_top20(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Global top-20 tokens over an UNBOUNDED key domain — the shuffle
+    top-k shape, not ``partial_merge`` (which is for bounded-cardinality
+    keys only; streaming n_batches × vocab partial rows to the driver
+    would be a driver-side materialization of the vocabulary at 100 TB).
+
+    1. per batch: local token counts (one row per distinct token);
+    2. hash-partition by ``crc32(token) % num_buckets`` (int64 shuffle
+       key) → ``groupby(bucket)``: each bucket task owns its tokens
+       exclusively, sums the partials and keeps its local top-20;
+    3. driver merge of num_buckets × 20 rows → global top-20.
+
+    Correct because every token lives in exactly one bucket, so the
+    global top-20 is a subset of the union of per-bucket top-20s."""
+    import zlib
+
     ds = _docs(sf_dir, ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -55,14 +68,24 @@ def token_frequency_top20(sf_dir: str) -> pd.DataFrame:
         for t in batch["text"].to_pylist():
             c.update(t.split(" "))
         toks = list(c.keys())
-        return pa.table({"token": pa.array(toks, type=pa.string()),
-                         "n": pa.array([c[t] for t in toks], type=pa.int64())})
+        return pa.table({
+            "token": pa.array(toks, type=pa.string()),
+            "n": pa.array([c[t] for t in toks], type=pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(t.encode()) % num_buckets for t in toks],
+                type=pa.int64()),
+        })
 
-    counts = partial_merge(ds, partial, keys=["token"],
-                           agg_spec={"n": ("n", "sum")})
-    counts["n"] = counts["n"].astype("int64")
-    top = counts.sort_values(["n", "token"], ascending=[False, True]).head(20)
-    return top.reset_index(drop=True)
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        return s.sort_values(["n", "token"], ascending=[False, True]).head(20)
+
+    top = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    top["n"] = top["n"].astype("int64")
+    top = top.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return top[["token", "n"]].reset_index(drop=True)
 
 
 def quality_by_lang(sf_dir: str) -> pd.DataFrame:

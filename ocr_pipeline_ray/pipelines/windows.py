@@ -49,19 +49,34 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
-def events_user_stats(sf_dir: str) -> pd.DataFrame:
+def events_user_stats(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Per-user rollup incl. a DISTINCT count (n_types) — needs each
+    user's rows together, so it shuffles; the key is ``user_id %
+    num_buckets`` (int64, bounded) instead of raw user_id, and each
+    bucket task aggregates ALL its users with one vectorized pandas
+    groupby — the `_add_bucket` pattern from reassembly, avoiding Ray's
+    per-group one-row-frame overhead and utf8 sort cost."""
     ds = _events(sf_dir, ["user_id", "event_type", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        val_i = int(np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64).sum())
-        return pd.DataFrame([{
-            "user_id": g["user_id"].iloc[0],
-            "n_events": np.int64(len(g)),
-            "n_types": np.int64(g["event_type"].nunique()),
-            "avg_value": (val_i / 1e6) / float(len(g)),
-        }])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(t["user_id"].to_numpy() % num_buckets, type=pa.int64())
+        val_i = np.floor(t["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "val_i": pa.array(val_i, type=pa.int64()),
+                         "bucket": b})
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("val_i", "size"), n_types=("event_type", "nunique"),
+            val_i=("val_i", "sum"))
+        out["avg_value"] = (out["val_i"] / 1e6) / out["n_events"].astype("float64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        return out[["user_id", "n_events", "n_types", "avg_value"]]
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_stats, batch_format="pandas") \
         .to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 

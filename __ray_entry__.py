@@ -38,29 +38,35 @@ def _span_corpus(sf_dir: str) -> str:
 
 
 def entry() -> Any:
-    """Flagship pipeline on the sf0.001-derived span corpus."""
+    """Flagship pipeline (ensemble OCR + cascade + calibration) on the
+    sf0.001-derived span corpus."""
     import ray.data as rd
 
     from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
-                                                    extract_spans)
+                                                    extract_spans,
+                                                    fit_page_calibrator)
 
     corpus = _span_corpus("/root/testdata/sf0.001")
     docs = rd.read_parquet(f"{corpus}/documents_spans")
     ref = build_media_lookup(f"{corpus}/media")
-    return extract_spans(docs, media_lookup_ref=ref)
+    calib = fit_page_calibrator(f"{corpus}/media")
+    return extract_spans(docs, media_lookup_ref=ref, calib=calib)
 
 
 def _q_extract_spans(sf_dir: str):
     import ray.data as rd
 
     from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
-                                                    extract_spans)
+                                                    extract_spans,
+                                                    fit_page_calibrator)
 
     corpus = _span_corpus(sf_dir)
     docs = rd.read_parquet(f"{corpus}/documents_spans")
     ref = build_media_lookup(f"{corpus}/media")
-    out = extract_spans(docs, media_lookup_ref=ref).to_pandas()
+    calib = fit_page_calibrator(f"{corpus}/media")
+    out = extract_spans(docs, media_lookup_ref=ref, calib=calib).to_pandas()
     out["conf"] = out["conf"].round(6)
+    out["conf_calibrated"] = out["conf_calibrated"].round(6)
     return out.sort_values(["doc_id", "order"]).reset_index(drop=True)
 
 
@@ -69,12 +75,14 @@ def _q_extract_fields(sf_dir: str):
 
     from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
                                                     extract_fields_per_doc,
-                                                    extract_spans)
+                                                    extract_spans,
+                                                    fit_page_calibrator)
 
     corpus = _span_corpus(sf_dir)
     docs = rd.read_parquet(f"{corpus}/documents_spans")
     ref = build_media_lookup(f"{corpus}/media")
-    spans = extract_spans(docs, media_lookup_ref=ref)
+    calib = fit_page_calibrator(f"{corpus}/media")
+    spans = extract_spans(docs, media_lookup_ref=ref, calib=calib)
     out = extract_fields_per_doc(spans).to_pandas()
     out["doc_conf"] = out["doc_conf"].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)

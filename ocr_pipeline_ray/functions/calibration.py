@@ -46,7 +46,14 @@ def fit_isotonic(raw_conf: np.ndarray, is_correct: np.ndarray
             i += 1
     # expand back to knot positions
     fitted = np.repeat(vals, [int(w) for w in weights])
-    return x, fitted
+    # canonicalize: collapse duplicate x to ONE knot keeping the last
+    # (max) fitted y — duplicate-x knots make linear interpolation
+    # implementation-defined (np.interp keeps last; a naive scan keeps
+    # first), and raw confidences are discrete so duplicates are the
+    # norm. One knot per x ⇒ every interpolator agrees.
+    keep = np.ones(x.size, dtype=bool)
+    keep[:-1] = x[1:] != x[:-1]
+    return x[keep], fitted[keep]
 
 
 def apply_calibration(knots_x: np.ndarray, knots_y: np.ndarray,

@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import re
 
-_CONFUSION = str.maketrans({
+# Public: the canonical confusable→digit translate table (engines and
+# the ensemble's aggressive reader reuse exactly this rule set).
+CONFUSION_TABLE = _CONFUSION = str.maketrans({
     "l": "1", "I": "1", "|": "1",
     "O": "0", "o": "0",
     "Z": "2", "z": "2",
@@ -37,6 +39,19 @@ _CONFUSION = str.maketrans({
 # F1 gate: a whole word of confusable chars that contains >=1 digit.
 _CONFUSABLE_WORD = re.compile(r"\b[0-9lIoOzZsSgGbB|]+\b")
 _HAS_DIGIT = re.compile(r"[0-9]")
+
+# Aggressive gate (the ensemble's "sharp" engine and the F11 last-chance
+# correction loop): ANY confusable-class word of length >= 2, digit
+# witness NOT required — recovers fully-corrupted numbers (``lOZS`` →
+# ``1025``) that the conservative F1 rule must leave alone. Safe only
+# as a fallback/second-opinion: a real all-confusable word (none exist
+# in the domain vocabulary) would be mangled.
+_AGGRESSIVE_WORD = re.compile(r"\b[0-9lIoOzZsSgGbB|]{2,}\b")
+
+
+def aggressive_digit_fix(text: str) -> str:
+    return _AGGRESSIVE_WORD.sub(
+        lambda m: m.group(0).translate(_CONFUSION), text)
 
 # F2: confusables in direct numeric context (subset ordering matters —
 # apply left-context, right-context, then between-digit rules).

@@ -28,12 +28,57 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import (MEDIA_JOIN_BUCKETS, OCR_ACTOR_NUM_CPUS, OCR_BATCH_SIZE,
-                      TAU_ENHANCE, TAU_LLM)
+from ..config import MEDIA_JOIN_BUCKETS, OCR_ACTOR_NUM_CPUS, OCR_BATCH_SIZE
 from ..stages.classify import classify_spans
 from ..stages.explode import explode_spans
-from ..stages.ocr import OcrStage, enhance_low_conf, finalize_status
+from ..stages.ocr import OcrStage, add_passthrough_cols
 from ..stages.reassemble import reassemble
+
+
+def fit_page_calibrator(media_path: str, sample_n: int = 512):
+    """M10/A7: fit the isotonic confidence calibrator on a seeded
+    labelled sample (the reference fits offline on labelled bills and
+    ships ``calibration_models.pkl``, pipeline.py:196-369; here the
+    corpus's construction truth IS the label).
+
+    Driver-side and small: the first ``sample_n`` page_png media rows
+    (sorted by media_ref — deterministic) are decoded once at 300 DPI;
+    a page is "correct" when its canonical decode equals the canonical
+    ground truth. Returns ``(knots_x, knots_y)`` or None when the
+    sample is too small (calibration then stays off).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.calibration import MIN_SAMPLES, fit_isotonic
+    from ..functions.charfix import fix_text
+    from ..functions.geometry import xy_cut_order
+    from ..stages.ocr import ocr_page
+
+    t = pq.read_table(media_path,
+                      columns=["media_ref", "media_kind", "payload",
+                               "truth_lines"])
+    t = t.filter(pc.equal(t["media_kind"], "page_png"))
+    t = t.take(pc.sort_indices(t["media_ref"]))
+    t = t.slice(0, sample_n)
+    confs, correct = [], []
+    for payload, truth in zip(t["payload"].to_pylist(),
+                              t["truth_lines"].to_pylist()):
+        text, conf, status = ocr_page(payload, dpi=300)
+        if status != "ok" or not truth:
+            continue
+        import numpy as np
+        xs = np.array([r["x"] for r in truth])
+        ys = np.array([r["y"] for r in truth])
+        order = xy_cut_order(xs, ys)
+        truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
+        confs.append(conf)
+        correct.append(1.0 if text == truth_text else 0.0)
+    if len(confs) < MIN_SAMPLES:
+        return None
+    import numpy as np
+    kx, ky = fit_isotonic(np.array(confs), np.array(correct))
+    return kx.tolist(), ky.tolist()
 
 
 def build_media_lookup(media_path: str) -> Any:
@@ -63,10 +108,15 @@ def _init_media_status(batch: pa.Table) -> pa.Table:
 
 def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
                   ocr_concurrency=(1, 8),
-                  join_partitions: int = MEDIA_JOIN_BUCKETS):
+                  join_partitions: int = MEDIA_JOIN_BUCKETS,
+                  calib=None):
     """documents Dataset → ordered span-sequence Dataset.
 
-    Out schema: (doc_id, order:int32, kind, text, media_ref, conf, status).
+    Out schema: (doc_id, order:int32, kind, text, media_ref, conf,
+    conf_calibrated, status, cascade). ``calib`` is an optional
+    ``(knots_x, knots_y)`` isotonic calibrator (fit_page_calibrator);
+    when given, the cascade thresholds are derived from target
+    accuracies and ``conf_calibrated`` carries the calibrated score.
     """
     exploded = docs_ds.map_batches(explode_spans, batch_format="pyarrow")
 
@@ -81,7 +131,8 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
         # re-bundling pass that measured 3x slower end-to-end; default
         # block-sized batches keep the map chain fused and zero-copy
         text_rows = exploded.filter(expr="kind == 'text'") \
-            .map_batches(classify_spans, batch_format="pyarrow")
+            .map_batches(classify_spans, batch_format="pyarrow") \
+            .map_batches(add_passthrough_cols, batch_format="pyarrow")
         joined = media_rows.join(
             media_ds.select_columns(["media_ref", "payload"]),
             join_type="left_outer", num_partitions=join_partitions,
@@ -91,10 +142,12 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
             # OCR actor pool / map tasks into a deadlock on a small node.
             aggregator_ray_remote_args={"num_cpus": 0.1},
         )
-        # OcrStage emits the span schema only (payload column consumed).
+        # OcrStage emits the span schema only (payload column consumed);
+        # the ensemble + cascade + calibration all run inside the pool.
         ocrd = joined.map_batches(
             OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
             concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
+            fn_constructor_kwargs={"calib": calib},
         )
         ds = ocrd.union(text_rows)
     else:
@@ -106,20 +159,18 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
         ds = ds.map_batches(
             OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
             concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
-            fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref},
+            fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref,
+                                   "calib": calib},
         )
 
-    ds = ds.map_batches(enhance_low_conf, batch_format="pyarrow",
-                        fn_kwargs={"tau_enhance": TAU_ENHANCE})
-    ds = ds.map_batches(finalize_status, batch_format="pyarrow",
-                        fn_kwargs={"tau_llm": TAU_LLM})
     return reassemble(ds)
 
 
 def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
                          skew_threshold: int = 512,
                          ocr_concurrency=(1, 8),
-                         skew_tail: str = "auto"):
+                         skew_tail: str = "auto",
+                         calib=None):
     """Shuffle-only-the-skew-tail extraction.
 
     Documents with ≤ ``skew_threshold`` spans (the vast majority) run
@@ -151,12 +202,14 @@ def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
     small = src.map_batches(
         DocLocalExtract, batch_format="pyarrow",
         concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
-        fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref})
+        fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref,
+                               "calib": calib})
     if skew_tail == "never":
         return small
     big = extract_spans(
         docs_ds.map_batches(big_only, batch_format="pyarrow"),
-        media_lookup_ref=media_lookup_ref, ocr_concurrency=(1, 4))
+        media_lookup_ref=media_lookup_ref, ocr_concurrency=(1, 4),
+        calib=calib)
     return small.union(big)
 
 

@@ -22,11 +22,11 @@ results — "shuffle only the skew tail".
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
-from ..config import TAU_ENHANCE, TAU_LLM
 from .classify import classify_one
-from .ocr import ocr_page
+from .ocr import _resolve_taus, ocr_page_cascade
 
 
 class DocLocalExtract:
@@ -34,10 +34,12 @@ class DocLocalExtract:
 
     In:  documents(doc_id, spans: list<struct<kind,text,media_ref,offset>>)
     Out: ordered spans(doc_id, order:int32, kind, text, media_ref,
-         conf:float64, status) — same schema as stages.reassemble.
+         conf:float64, conf_calibrated, status, cascade) — same schema
+         as stages.reassemble. Runs the identical ensemble + cascade +
+         calibration kernels as OcrStage (byte-equality tested).
     """
 
-    def __init__(self, media_lookup_ref=None) -> None:
+    def __init__(self, media_lookup_ref=None, calib=None) -> None:
         if media_lookup_ref is not None:
             import ray
             self.media: pa.Table | None = ray.get(media_lookup_ref)  # zero-copy
@@ -45,6 +47,11 @@ class DocLocalExtract:
             self.media_payloads = self.media["payload"]
         else:
             self.media = None
+        self.calib = None
+        if calib is not None:
+            self.calib = (np.asarray(calib[0], dtype=np.float64),
+                          np.asarray(calib[1], dtype=np.float64))
+        self.tau_enhance, self.tau_llm = _resolve_taus(self.calib)
 
     def _payloads_for(self, refs: list[str]) -> dict[str, bytes]:
         if self.media is None or not refs:
@@ -67,8 +74,8 @@ class DocLocalExtract:
                       if s["kind"] == "media"]
         payloads = self._payloads_for(media_refs)
 
-        o_doc, o_order, o_kind, o_text, o_ref, o_conf, o_status = \
-            [], [], [], [], [], [], []
+        o_doc, o_order, o_kind, o_text, o_ref = [], [], [], [], []
+        o_conf, o_cal, o_status, o_casc = [], [], [], []
         for doc_id, spans in zip(doc_ids, spans_col):
             order = 0
             for span in sorted(spans, key=lambda s: s["offset"]):
@@ -77,16 +84,21 @@ class DocLocalExtract:
                     if not kept:
                         continue
                     text, conf, status = clean, 1.0, "ok"
+                    cal, casc = conf, "accepted"
                 else:
                     payload = payloads.get(span["media_ref"])
                     if payload is None:
                         continue  # missing_media: dropped, like filter_keep
-                    text, conf, status = ocr_page(payload)
+                    text, conf, status, casc = ocr_page_cascade(
+                        payload, self.tau_enhance)
                     if status != "ok":
                         continue  # blank / corrupt dropped
-                    if conf < TAU_ENHANCE:  # cascade: enhanced retry boost
-                        conf = min(0.97, conf + 0.05)
-                    if conf < TAU_LLM:
+                    if self.calib is None or casc == "digital":
+                        cal = conf
+                    else:
+                        cal = float(np.interp(conf, self.calib[0],
+                                              self.calib[1]))
+                    if casc != "digital" and cal < self.tau_llm:
                         status = "low_conf"
                 o_doc.append(doc_id)
                 o_order.append(order)
@@ -94,7 +106,9 @@ class DocLocalExtract:
                 o_text.append(text)
                 o_ref.append(span["media_ref"])
                 o_conf.append(conf)
+                o_cal.append(cal)
                 o_status.append(status)
+                o_casc.append(casc)
                 order += 1
 
         return pa.table({
@@ -104,5 +118,7 @@ class DocLocalExtract:
             "text": pa.array(o_text, type=pa.string()),
             "media_ref": pa.array(o_ref, type=pa.string()),
             "conf": pa.array(o_conf, type=pa.float64()),
+            "conf_calibrated": pa.array(o_cal, type=pa.float64()),
             "status": pa.array(o_status, type=pa.string()),
+            "cascade": pa.array(o_casc, type=pa.string()),
         })

@@ -2,35 +2,48 @@
 
 The Ray-Data re-expression of the reference's engine stack (SURVEY
 §2.3 M1-M8): a callable CLASS for ``map_batches(..., concurrency=N)``
-— the warm "engine" is built once per actor in ``__init__`` exactly
+— the warm "engines" are built once per actor in ``__init__`` exactly
 like the reference's per-process lazy singletons (pipeline.py:1150-1195
 caches PaddleOCR on a function attribute), and ``__call__`` scores a
 whole Arrow batch.
 
-The decode itself is the deterministic fake from ``media_stub`` (no
-image libs in this container — SURVEY §8's note that the reference's
-real model weights are absent and its reachable golden path is the
-deterministic Tesseract-style one). Everything around the decode is
-the real distributed design:
+Multi-engine ensemble (reference pipeline.py:1948-1982): every page
+line is read by THREE deterministic stub engines with distinct error
+profiles and confidence models, and the readings are vote-merged per
+line (J2 token vote, pipeline.py:1750-1848) with winner selection by
+weighted agreement (J3 ``_aggregate_multi_engine_results``,
+pipeline.py:1850-1898). The engines:
 
-- payload resolution: either a *broadcast* lookup (``ray.put`` the
-  media dict once, ``ray.get`` per actor in ``__init__`` — the small
-  dimension-table pattern) or a pre-joined ``payload`` column from the
-  bucketed/hash join (the 100 TB path, see pipelines.extract),
-- per-page reading order: XY-cut over line anchors
-  (functions.geometry.xy_cut_order), generalizing the reference's box
-  ordering loop (pytorch_mobile/ocr_pipeline.py:780-803),
-- char-correction canonicalization (functions.charfix, F1-F3),
-- per-page confidence: geometric-mean of per-line confidences
-  (functions.confidence, reference pipeline.py:386-414),
-- blank/corrupt handling as *data* (status column), mirroring the
-  reference's failure-as-empty-result model (pipeline.py:1725-1727).
+- ``stable``  (tesseract-style): reads the rasterized text as-is;
+  base 0.98, −0.03 per suspect confusable char.
+- ``sharp``   (paddle-style): applies the aggressive confusable→digit
+  translate to ALL confusable-class words (len ≥ 2, digit not
+  required) — it alone can recover fully-corrupted numbers like
+  ``lOZS`` → ``1025`` that the conservative char-fix (F1 requires a
+  digit witness) cannot; base 0.96, −0.01.
+- ``fuzzy``   (easyocr-style): raw read at 300 DPI, but at 600 DPI it
+  converges with ``sharp`` on the corrected variant; base 0.92, −0.02.
 
-Line confidence is a deterministic function of the raw (pre-fix)
-text: base 0.98 minus 0.03 per suspect confusable character (chars in
-the F1 confusable class inside digit-bearing words), floored at 0.55 —
-degraded pages therefore score lower, exactly reproducible by the
-oracle.
+Confidence cascade with a GENUINE re-decode (R1, reference
+pipeline.py:1989-2002 600-DPI retry): pages whose 300-DPI ensemble
+confidence falls below tau_enhance are re-decoded at 600 DPI — higher
+engine bases, no line truncation, and two engines now agree on the
+corrected variant, so the retry can genuinely CHANGE the page text
+(not just its confidence).
+
+Calibration (M10/A7, reference pipeline.py:196-369): an optional
+isotonic calibrator (fit offline on a seeded labelled sample —
+``pipelines.extract.fit_page_calibrator``) maps raw ensemble
+confidence → observed accuracy. The cascade thresholds are then the
+raw confidences achieving the reference's target accuracies
+(``get_calibrated_thresholds``, pipeline.py:330-369), inverted via
+``threshold_for_accuracy``; a ``conf_calibrated`` column carries the
+calibrated score downstream.
+
+Everything around the stub decode is the real distributed design:
+payload resolution by zero-copy broadcast or pre-joined column,
+XY-cut reading order, char-correction canonicalization, failure-as-
+data status columns.
 """
 
 from __future__ import annotations
@@ -40,7 +53,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..functions.charfix import fix_text
+from ..config import TAU_ENHANCE, TAU_LLM
+from ..functions.charfix import aggressive_digit_fix, fix_text
 from ..functions.confidence import geomean_confidence
 from ..functions.geometry import xy_cut_order
 from . import media_stub
@@ -49,52 +63,188 @@ _CONFUSABLE_WORD = re.compile(r"\b[0-9lIoOzZsSgGbB|]+\b")
 _HAS_DIGIT = re.compile(r"[0-9]")
 _SUSPECTS = set("lIoOzZsSgGbB|")
 
+# (name, base_conf, per-suspect penalty, variant) per DPI. At 300 only
+# ``sharp`` trusts its aggressive correction; at 600 (cleaner glyphs)
+# ``fuzzy`` converges on the corrected variant and every base rises —
+# the deterministic analog of "retry at 600 dpi reads better".
+ENGINE_PARAMS: dict[int, tuple[tuple[str, float, float, str], ...]] = {
+    300: (("stable", 0.98, 0.03, "raw"),
+          ("sharp", 0.96, 0.01, "fix"),
+          ("fuzzy", 0.92, 0.02, "raw")),
+    600: (("stable", 0.99, 0.03, "raw"),
+          ("sharp", 0.97, 0.01, "fix"),
+          ("fuzzy", 0.94, 0.02, "fix")),
+}
+N_ENGINES = 3
+CONF_FLOOR = 0.55
+# Winner confidence is docked per dissenting engine (J3: agreement is
+# evidence; a split vote means the glyphs are ambiguous even when the
+# winning reader is individually confident).
+DISAGREE_PENALTY = 0.04
+
+# 300-DPI line-scan window: longer lines are clipped (recovered by the
+# 600-DPI retry). Far above the synthetic corpus line lengths; the
+# mechanism is exercised by unit tests.
+TRUNC_CHARS_300 = 120
+TRUNC_PENALTY = 0.05
+
+# Target accuracies for calibrated thresholds (reference
+# get_calibrated_thresholds: accept 0.97 / enhance 0.90 / llm 0.85).
+ACC_TARGET_ENHANCE = 0.90
+ACC_TARGET_LLM = 0.85
+
+# Enhancement also triggers when the WORST line falls below this — the
+# analog of the reference's per-FIELD confidence trigger
+# (pipeline.py:1989 enhances on field_confidence, and fields live on
+# single lines; a page geomean dilutes exactly the line the field
+# extractor will read).
+TAU_LINE_ENHANCE = 0.85
+
 
 def suspect_char_count(raw: str) -> int:
+    """Ambiguous glyph count: suspect chars inside digit-bearing
+    confusable words (the F1 gate) AND inside digit-FREE confusable
+    words of length ≥ 2 — a number whose every digit degraded (e.g.
+    ``lOZS``) carries no digit witness but is maximally ambiguous, and
+    only the aggressive engine can read it."""
     n = 0
     for m in _CONFUSABLE_WORD.finditer(raw):
         w = m.group(0)
-        if _HAS_DIGIT.search(w):
+        if _HAS_DIGIT.search(w) or len(w) >= 2:
             n += sum(1 for ch in w if ch in _SUSPECTS)
     return n
 
 
 def line_confidence(raw: str) -> float:
-    return max(0.55, 0.98 - 0.03 * suspect_char_count(raw))
+    """The ``stable`` engine's line model (also the winning-variant conf
+    on clean lines): base 0.98 − 0.03/suspect, floored at 0.55."""
+    return max(CONF_FLOOR, 0.98 - 0.03 * suspect_char_count(raw))
 
 
-def ocr_page(payload: bytes) -> tuple[str, float, str]:
-    """Decode one page → (canonical_text, confidence, status)."""
+def read_line(raw: str, dpi: int) -> tuple[str, float]:
+    """Three engine readings of one line + J2/J3 vote-merge.
+
+    weight(variant) = sum(conf of its readers) × votes / n²  — the
+    per-group weighted vote of stages.ensemble.vote_merge_tokens; the
+    winner's confidence is the best reader's (J3 winner selection).
+    Deterministic ties → lexicographically smallest variant.
+    """
+    if dpi < 600 and len(raw) > TRUNC_CHARS_300:
+        seen, pen = raw[:TRUNC_CHARS_300], TRUNC_PENALTY
+    else:
+        seen, pen = raw, 0.0
+    fixw = aggressive_digit_fix(seen)
+    s_raw = suspect_char_count(seen)
+    s_fix = s_raw if fixw == seen else suspect_char_count(fixw)
+
+    readings: list[tuple[str, float]] = []
+    for _name, base, weight, variant in ENGINE_PARAMS[dpi]:
+        text = seen if variant == "raw" else fixw
+        s = s_raw if variant == "raw" else s_fix
+        readings.append((text, max(CONF_FLOOR, base - weight * s - pen)))
+
+    votes: dict[str, tuple[float, int]] = {}
+    for text, conf in readings:
+        c, n = votes.get(text, (0.0, 0))
+        votes[text] = (c + conf, n + 1)
+    best_text, best_w = "", -1.0
+    for text in sorted(votes):
+        c, n = votes[text]
+        w = c * n / (N_ENGINES * N_ENGINES)
+        if w > best_w:
+            best_text, best_w = text, w
+    conf = max(c for t, c in readings if t == best_text)
+    dissent = N_ENGINES - votes[best_text][1]
+    return best_text, max(CONF_FLOOR, conf - DISAGREE_PENALTY * dissent)
+
+
+def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str]:
+    """One ensemble pass at ``dpi`` →
+    (canonical_text, page_conf, min_line_conf, status)."""
     kind = media_stub.classify_payload(payload)
     if kind == "blank":
-        return "", 0.0, "blank"
+        return "", 0.0, 0.0, "blank"
     if kind == "corrupt":
-        return "", 0.0, "corrupt"
+        return "", 0.0, 0.0, "corrupt"
     if kind == "digital":
         # digital-text fast path: extractable text, skip OCR entirely,
         # conf=1.0 (reference pdfminer path, pipeline.py:1938-1946)
-        return media_stub.decode_digital(payload), 1.0, "ok"
+        return media_stub.decode_digital(payload), 1.0, 1.0, "ok"
     lines = media_stub.decode_page(payload)
     if not lines:
-        return "", 0.0, "blank"
+        return "", 0.0, 0.0, "blank"
     xs = np.array([x for _, x, _ in lines])
     ys = np.array([y for _, _, y in lines])
     order = xy_cut_order(xs, ys)
-    ordered = [lines[i][0] for i in order]
-    confs = np.array([line_confidence(t) for t in ordered])
-    raw_text = "\n".join(ordered)
-    return fix_text(raw_text), geomean_confidence(confs), "ok"
+    merged, confs = [], []
+    for i in order:
+        text, conf = read_line(lines[i][0], dpi)
+        merged.append(text)
+        confs.append(conf)
+    return (fix_text("\n".join(merged)),
+            geomean_confidence(np.array(confs)), min(confs), "ok")
+
+
+def ocr_page(payload: bytes, dpi: int = 300) -> tuple[str, float, str]:
+    """Decode one page at ``dpi`` → (canonical_text, confidence, status).
+    One ensemble pass, no cascade (the cascade wraps this)."""
+    text, conf, _min_conf, status = _decode(payload, dpi)
+    return text, conf, status
+
+
+def ocr_page_cascade(payload: bytes, tau_enhance: float = TAU_ENHANCE
+                     ) -> tuple[str, float, str, str]:
+    """R1 cascade with a genuine re-decode: 300-DPI ensemble first; when
+    the page confidence falls below ``tau_enhance`` OR the worst line
+    falls below ``TAU_LINE_ENHANCE`` (the per-field trigger analog),
+    the page is re-decoded at 600 DPI and the better-scoring result
+    wins (reference pipeline.py:1989-2002 keeps the enhanced result
+    only when it improves). Returns (text, conf, status, cascade) with
+    cascade ∈ {accepted, enhanced, retry_kept, digital, none}."""
+    kind = media_stub.classify_payload(payload)
+    if kind == "digital":
+        return media_stub.decode_digital(payload), 1.0, "ok", "digital"
+    text, conf, min_conf, status = _decode(payload, 300)
+    if status != "ok":
+        return text, conf, status, "none"
+    if conf >= tau_enhance and min_conf >= TAU_LINE_ENHANCE:
+        return text, conf, status, "accepted"
+    t600, c600, _m600, s600 = _decode(payload, 600)
+    if s600 == "ok" and c600 > conf:
+        return t600, c600, "ok", "enhanced"
+    return text, conf, "ok", "retry_kept"
+
+
+def _resolve_taus(calib) -> tuple[float, float]:
+    """(tau_enhance_raw, tau_llm_raw): config defaults, or — when a
+    calibrator is provided — the raw confidences achieving the target
+    accuracies (reference get_calibrated_thresholds), with the config
+    values as fallback when a target is unreachable."""
+    if calib is None:
+        return TAU_ENHANCE, TAU_LLM
+    from ..functions.calibration import threshold_for_accuracy
+    kx, ky = calib
+    te = threshold_for_accuracy(kx, ky, ACC_TARGET_ENHANCE)
+    tl = threshold_for_accuracy(kx, ky, ACC_TARGET_LLM)
+    return (te if te is not None else TAU_ENHANCE,
+            tl if tl is not None else TAU_LLM)
 
 
 class OcrStage:
     """map_batches actor pool over mixed span rows.
 
-    Media rows (status='pending') are OCR'd; text rows pass through.
-    Payloads come from the broadcast lookup (``media_lookup_ref``) or
-    from a ``payload`` column if the pipeline pre-joined it.
+    Media rows (status='pending') are decoded by the 3-engine ensemble
+    with the cascade re-decode; text rows pass through. Payloads come
+    from the broadcast lookup (``media_lookup_ref``) or from a
+    ``payload`` column if the pipeline pre-joined it. ``calib`` is an
+    optional ``(knots_x, knots_y)`` isotonic calibrator: it derives the
+    cascade thresholds and fills ``conf_calibrated``.
+
+    Output columns: doc_id, kind, text, media_ref, offset, status,
+    conf, conf_calibrated, cascade.
     """
 
-    def __init__(self, media_lookup_ref=None) -> None:
+    def __init__(self, media_lookup_ref=None, calib=None) -> None:
         # Warm-engine setup, once per actor (reference singleton pattern).
         # The broadcast media table is ZERO-COPY from the object store —
         # ray.get maps shared buffers; no per-actor dict materialization.
@@ -105,6 +255,11 @@ class OcrStage:
             self.media_payloads = self.media["payload"]
         else:
             self.media = None
+        self.calib = None
+        if calib is not None:
+            self.calib = (np.asarray(calib[0], dtype=np.float64),
+                          np.asarray(calib[1], dtype=np.float64))
+        self.tau_enhance, self.tau_llm = _resolve_taus(self.calib)
 
     def _lookup_payloads(self, refs: pa.ChunkedArray) -> list[bytes | None]:
         import pyarrow.compute as pc
@@ -114,10 +269,19 @@ class OcrStage:
             out.append(None if i is None else self.media_payloads[i].as_py())
         return out
 
+    def _calibrated(self, conf: float, cascade: str) -> float:
+        # calibration applies to OCR'd pages only — the digital fast
+        # path and text spans keep their native confidence
+        if self.calib is None or cascade in ("digital", "none"):
+            return conf
+        return float(np.interp(conf, self.calib[0], self.calib[1]))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         status = batch["status"].to_pylist()
         texts = batch["text"].to_pylist()
         confs = batch["conf"].to_pylist()
+        cascades = ["accepted"] * batch.num_rows
+        cals = list(confs)
 
         if "payload" in batch.column_names:
             payloads = batch["payload"].to_pylist()
@@ -132,10 +296,16 @@ class OcrStage:
             payload = payloads[i]
             if payload is None:
                 texts[i], confs[i], status[i] = "", 0.0, "missing_media"
+                cascades[i], cals[i] = "none", 0.0
                 continue
-            texts[i], confs[i], status[i] = ocr_page(payload)
+            text, conf, st2, casc = ocr_page_cascade(payload, self.tau_enhance)
+            cal = self._calibrated(conf, casc)
+            if st2 == "ok" and casc != "digital" and cal < self.tau_llm:
+                st2 = "low_conf"  # last-resort branch, pipeline.py:2034-2065
+            texts[i], confs[i], status[i] = text, conf, st2
+            cascades[i], cals[i] = casc, cal
 
-        cols = {
+        return pa.table({
             "doc_id": batch["doc_id"],
             "kind": batch["kind"],
             "text": pa.array(texts, type=pa.string()),
@@ -143,43 +313,22 @@ class OcrStage:
             "offset": batch["offset"],
             "status": pa.array(status, type=pa.string()),
             "conf": pa.array(confs, type=pa.float64()),
-        }
-        return pa.table(cols)
+            "conf_calibrated": pa.array(cals, type=pa.float64()),
+            "cascade": pa.array(cascades, type=pa.string()),
+        })
 
 
-def enhance_low_conf(batch: pa.Table, tau_enhance: float) -> pa.Table:
-    """Cascade stage R1 as single-pass dataflow.
-
-    The reference re-runs the best engine at 600 DPI for documents
-    below tau_enhance (pipeline.py:1989-2002). Expressed as a
-    branch-filter-union it would re-execute the expensive OCR stage (or
-    force a mid-pipeline materialization); instead this is one cheap
-    vectorized pass that only touches the low-confidence subset —
-    semantically identical, streaming-friendly.
-
-    Enhanced retry on the stub engine: confidence +0.05, capped 0.97.
-    """
-    import pyarrow.compute as pc
-
-    conf = batch["conf"]
-    is_media_ok = pc.and_(pc.equal(batch["kind"], "media"),
-                          pc.equal(batch["status"], "ok"))
-    needs = pc.and_(is_media_ok, pc.less(conf, tau_enhance))
-    boosted = pc.min_element_wise(pc.add(conf, 0.05), 0.97)
-    new_conf = pc.if_else(needs, boosted, conf)
-    out = batch.set_column(batch.schema.get_field_index("conf"), "conf", new_conf)
-    # keep status='ok' for enhanced rows; record the branch taken in a column
-    return out.append_column(
-        "cascade", pc.if_else(needs, pa.scalar("enhanced"), pa.scalar("accepted")))
-
-
-def finalize_status(batch: pa.Table, tau_llm: float) -> pa.Table:
-    """Rows still under tau_llm become 'low_conf' (kept, best-effort —
-    the reference's last-resort branch, pipeline.py:2034-2065)."""
-    import pyarrow.compute as pc
-
-    low = pc.and_(pc.and_(pc.equal(batch["kind"], "media"),
-                          pc.equal(batch["status"], "ok")),
-                  pc.less(batch["conf"], tau_llm))
-    new_status = pc.if_else(low, pa.scalar("low_conf"), batch["status"])
-    return batch.set_column(batch.schema.get_field_index("status"), "status", new_status)
+def add_passthrough_cols(batch: pa.Table) -> pa.Table:
+    """Text-branch rows (join path) get the ensemble columns so the
+    union's schema matches: cascade='accepted', conf_calibrated=conf."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "kind": batch["kind"],
+        "text": batch["text"],
+        "media_ref": batch["media_ref"],
+        "offset": batch["offset"],
+        "status": batch["status"],
+        "conf": batch["conf"],
+        "conf_calibrated": batch["conf"],
+        "cascade": pa.array(["accepted"] * batch.num_rows, type=pa.string()),
+    })

@@ -26,7 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 KEEP_STATUSES = ("ok", "low_conf")
-OUT_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref", "conf", "status"]
+OUT_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref", "conf",
+               "conf_calibrated", "status", "cascade"]
 
 
 def filter_keep(batch: pa.Table) -> pa.Table:

@@ -26,10 +26,14 @@ SPAN_SCHEMA = pa.schema([
 ])
 SPAN_STATUS_SCHEMA = pa.schema(
     list(SPAN_SCHEMA) + [("status", pa.string()), ("conf", pa.float64())])
+SPAN_ENSEMBLE_SCHEMA = pa.schema(
+    list(SPAN_STATUS_SCHEMA) + [("conf_calibrated", pa.float64()),
+                                ("cascade", pa.string())])
 ORDERED_SPAN_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("order", pa.int32()), ("kind", pa.string()),
     ("text", pa.string()), ("media_ref", pa.string()),
-    ("conf", pa.float64()), ("status", pa.string()),
+    ("conf", pa.float64()), ("conf_calibrated", pa.float64()),
+    ("status", pa.string()), ("cascade", pa.string()),
 ])
 
 
@@ -69,14 +73,22 @@ def stages_for(kind: str) -> list[StageSpec]:
 
 
 def validate_stage_io(spec: StageSpec, out: pa.Table) -> None:
-    """Check a stage's actual output table against its declared schema
-    (names + types, order-insensitive)."""
+    """Check a stage's actual output table against its declared schema:
+    every declared column must be present with the declared type
+    (declared ⊆ actual, order-insensitive — stages may append columns).
+    An EMPTY declared schema means "dynamic output" (e.g. the decode /
+    feature stages whose columns depend on the media kind) and skips
+    validation entirely."""
     declared = {f.name: f.type for f in spec.out_schema}
+    if not declared:
+        return  # dynamic output schema
     actual = {f.name: f.type for f in out.schema}
-    if declared != actual:
+    missing = {n: t for n, t in declared.items() if actual.get(n) != t}
+    if missing:
         raise TypeError(
             f"stage {spec.name!r} output schema mismatch:\n"
-            f"  declared: {declared}\n  actual:   {actual}")
+            f"  declared-but-absent/mistyped: {missing}\n"
+            f"  actual: {actual}")
 
 
 def _register_builtins() -> None:
@@ -91,7 +103,7 @@ def _register_builtins() -> None:
     register(StageSpec("classify", "text", classify_spans,
                        SPAN_SCHEMA, SPAN_STATUS_SCHEMA))
     register(StageSpec("ocr", "media", OcrStage,
-                       SPAN_STATUS_SCHEMA, SPAN_STATUS_SCHEMA, stateful=True))
+                       SPAN_STATUS_SCHEMA, SPAN_ENSEMBLE_SCHEMA, stateful=True))
     register(StageSpec("doc_local_extract", "*", DocLocalExtract,
                        pa.schema([("doc_id", pa.string())]),
                        ORDERED_SPAN_SCHEMA, stateful=True))

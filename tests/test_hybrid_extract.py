@@ -13,7 +13,8 @@ from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(["doc_id", "order"]).reset_index(drop=True)
-    return df[["doc_id", "order", "kind", "text", "media_ref", "conf", "status"]]
+    return df[["doc_id", "order", "kind", "text", "media_ref", "conf",
+               "conf_calibrated", "status", "cascade"]]
 
 
 def test_hybrid_equals_exploded(small_corpus):

@@ -8,10 +8,9 @@ import ray.data as rd
 
 from ocr_pipeline_ray.stages.explode import explode_spans
 from ocr_pipeline_ray.stages.classify import classify_spans
-from ocr_pipeline_ray.stages.ocr import OcrStage, enhance_low_conf, finalize_status
+from ocr_pipeline_ray.stages.ocr import OcrStage
 from ocr_pipeline_ray.stages.reassemble import reassemble, reassemble_salted
 from ocr_pipeline_ray.pipelines.extract import build_media_lookup
-from ocr_pipeline_ray.config import TAU_ENHANCE, TAU_LLM
 
 
 def _pre_reassembly(small_corpus):
@@ -19,12 +18,9 @@ def _pre_reassembly(small_corpus):
     ref = build_media_lookup(f"{small_corpus}/media")
     ds = docs.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(classify_spans, batch_format="pyarrow")
-    ds = ds.map_batches(OcrStage, batch_format="pyarrow", concurrency=2,
-                        fn_constructor_kwargs={"media_lookup_ref": ref})
-    ds = ds.map_batches(enhance_low_conf, batch_format="pyarrow",
-                        fn_kwargs={"tau_enhance": TAU_ENHANCE})
-    return ds.map_batches(finalize_status, batch_format="pyarrow",
-                          fn_kwargs={"tau_llm": TAU_LLM})
+    # ensemble + cascade + final status all run inside the OCR pool
+    return ds.map_batches(OcrStage, batch_format="pyarrow", concurrency=2,
+                          fn_constructor_kwargs={"media_lookup_ref": ref})
 
 
 def test_salted_equals_unsalted(small_corpus):

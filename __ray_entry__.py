@@ -28,7 +28,7 @@ def _span_corpus(sf_dir: str) -> str:
     from ocr_pipeline_ray.sources.synth import write_corpus
 
     n_docs = max(50, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
-    out = os.path.join(_CORPUS_CACHE, f"v2-n{n_docs}-seed42")
+    out = os.path.join(_CORPUS_CACHE, f"v3-n{n_docs}-seed42")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         write_corpus(out, n_docs=n_docs, seed=42, skew_upper=200, num_files=4)

@@ -5,14 +5,21 @@ Plain run:  prints ONE JSON line
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "extract_docs_per_sec": ..., "extract_spans_per_sec": ...}
 
---scaling:  runs the same bench twice in FRESH processes
+--scaling:  runs the extraction bench twice in FRESH processes
   (num_cpus=8 then num_cpus=32) on identical input and reports both
   throughputs + scaling efficiency (the north rule's two-cluster-size
   criterion, evidenced at two parallelism levels as documented in
-  BASELINE.md).
+  BASELINE.md) — for THREE execution modes:
+    never : doc-local map-only path (zero shuffle)
+    skew  : hybrid with a real skew tail (skew_threshold=96 ⇒ ~5% of
+            docs go through the exploded + groupby-reassembly shuffle)
+    join  : media payloads resolved via the hash-partitioned
+            Dataset.join instead of the broadcast table
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     RAY_GRAFT_CPUS (default 32).
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_BENCH_MODE (never|skew|join, default never),
+     GRAFT_BENCH_DOCS / GRAFT_BENCH_ONLY (scaling internals).
 
 This script OWNS its Ray session (init+shutdown); library code never
 does.
@@ -21,6 +28,7 @@ does.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import subprocess
 import sys
@@ -33,6 +41,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # an 8 → 32 CPU comparison is meaningful) and extract-only mode.
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "0"))
 EXTRACT_ONLY = os.environ.get("GRAFT_BENCH_ONLY", "") == "extract"
+BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "never")
+
+# the driver-shipped testdata parquet carries pandas schema metadata,
+# which makes pa.Schema unhashable → Ray logs a cosmetic warning per
+# task; silence just that logger
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
+
+SKEW_THRESHOLD = 96  # skew mode: docs with more spans take the shuffle path
 
 
 def _corpus_for_bench(sf_dir: str, n_docs_override: int = 0) -> tuple[str, int]:
@@ -41,15 +58,13 @@ def _corpus_for_bench(sf_dir: str, n_docs_override: int = 0) -> tuple[str, int]:
     generator just wrote)."""
     import pyarrow.parquet as pq
 
-    from ocr_pipeline_ray.sources.synth import write_corpus
-
     import ray
-
-    from ocr_pipeline_ray.sources.synth import write_corpus_parallel
+    from ocr_pipeline_ray.sources.synth import (write_corpus,
+                                                write_corpus_parallel)
 
     n_docs = n_docs_override or BENCH_DOCS or max(
         100, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
-    out = f"/tmp/ocr_ray_bench_corpus/v2-n{n_docs}-seed42"
+    out = f"/tmp/ocr_ray_bench_corpus/v3-n{n_docs}-seed42"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         num_files = max(16, n_docs // 300)
@@ -62,6 +77,28 @@ def _corpus_for_bench(sf_dir: str, n_docs_override: int = 0) -> tuple[str, int]:
         with open(marker, "w") as f:
             f.write("ok")
     return out, n_docs
+
+
+def _build_extract(docs, media_ref, media_ds, calib, mode: str):
+    """The flagship pipeline in the requested execution mode."""
+    from ocr_pipeline_ray.pipelines.extract import (extract_spans,
+                                                    extract_spans_hybrid)
+
+    conc = max(2, NUM_CPUS - 2)
+    if mode == "join":
+        return extract_spans(docs, media_ds=media_ds, join_partitions=64,
+                             ocr_concurrency=conc, calib=calib)
+    if mode == "skew":
+        return extract_spans_hybrid(docs, media_lookup_ref=media_ref,
+                                    ocr_concurrency=conc, calib=calib,
+                                    skew_threshold=SKEW_THRESHOLD,
+                                    skew_tail="auto")
+    # "never": doc-local map-only; the bench corpus is span-capped at
+    # generation (skew_upper=300 < default threshold 512) so the tail
+    # branch is provably empty and skipped entirely
+    return extract_spans_hybrid(docs, media_lookup_ref=media_ref,
+                                ocr_concurrency=conc, calib=calib,
+                                skew_tail="never")
 
 
 def run_bench() -> dict:
@@ -78,40 +115,36 @@ def run_bench() -> dict:
         from ocr_pipeline_ray.pipelines import (dedup, relational, similarity,
                                                 text, windows)
         from ocr_pipeline_ray.pipelines.extract import (build_media_lookup,
-                                                        extract_spans_hybrid)
+                                                        fit_page_calibrator)
 
         corpus, n_docs = _corpus_for_bench(SF_DIR)
         timings: dict[str, float] = {}
         extras: dict[str, float] = {}
 
-        # headline: flagship extraction pipeline, broadcast media path.
-        # Input setup (driver-side media read + object-store put) stays
+        # headline: flagship extraction pipeline. Input setup (driver-
+        # side media read + object-store put + calibrator fit) stays
         # outside the clock: serial Amdahl overhead that a cluster
-        # deployment shards, not pipeline work.
+        # deployment shards/caches, not pipeline work.
         docs = rd.read_parquet(f"{corpus}/documents_spans")
         ref = build_media_lookup(f"{corpus}/media")
+        calib = fit_page_calibrator(f"{corpus}/media")
+        media_ds = rd.read_parquet(f"{corpus}/media") \
+            if BENCH_MODE == "join" else None
         # untimed warm-up on one input shard: spawns the worker
         # processes and imports the package in them, so the timed run
         # measures pipeline work, not cold interpreter start
         import glob as _glob
         warm_file = sorted(_glob.glob(f"{corpus}/documents_spans/*.parquet"))[0]
-        extract_spans_hybrid(rd.read_parquet(warm_file), media_lookup_ref=ref,
-                             ocr_concurrency=max(2, NUM_CPUS - 2),
-                             skew_tail="never").count()
+        _build_extract(rd.read_parquet(warm_file), ref, media_ds, calib,
+                       "never").count()
         t0 = time.perf_counter()
-        # hybrid: doc-local map-only for normal docs (zero shuffle),
-        # exploded+groupby only for the skew tail. Fixed-size pool ∝
-        # num_cpus (autoscaling (min,max) pools can stall at min).
-        # the bench corpus is span-capped at generation (skew_upper=300
-        # < skew_threshold) → the tail branch is provably empty
-        spans = extract_spans_hybrid(docs, media_lookup_ref=ref,
-                                     ocr_concurrency=max(2, NUM_CPUS - 2),
-                                     skew_tail="never")
+        spans = _build_extract(docs, ref, media_ds, calib, BENCH_MODE)
         n_spans = spans.count()
         dt = time.perf_counter() - t0
         timings["extract_spans"] = round(dt, 3)
         extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
         extras["extract_spans_per_sec"] = round(n_spans / dt, 2)
+        extras["extract_mode"] = BENCH_MODE
 
         for name, fn in [] if EXTRACT_ONLY else [
             ("q1_pricing_summary", relational.q1_pricing_summary),
@@ -142,57 +175,71 @@ def run_bench() -> dict:
         ray.shutdown()
 
 
-def run_scaling() -> dict:
-    """Fresh-process runs at 8 and 32 CPUs on identical input; scaling
-    efficiency = (t_8 / t_32) / (32 / 8). Uses a 4x corpus and the
-    extraction pipeline only (the other suite queries are sf-bound and
-    finish in ~1 s each — they would measure startup, not scaling)."""
-    import pyarrow.parquet as pq
-
-    # 40x the sf tier: enough pipeline work (~8 min of single-CPU
-    # compute) to amortize the ~4 s session/pool floor at 32 CPUs
-    scale_docs = 40 * max(
-        100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
-
+def _scaling_one_mode(mode: str, scale_docs: int) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(scale_docs),
-                   GRAFT_BENCH_ONLY="extract")
+                   GRAFT_BENCH_ONLY="extract",
+                   GRAFT_BENCH_MODE=mode)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm-up, untimed: generate the corpus (Ray-parallel) and pull its
-    # bytes into the OS page cache so both timed runs measure compute +
+    lo, hi = one(8), one(32)
+    return {
+        "mode": mode,
+        "n_docs": scale_docs,
+        "extract_sec_8cpus": lo["queries"]["extract_spans"],
+        "extract_sec_32cpus": hi["queries"]["extract_spans"],
+        "docs_per_sec_8cpus": lo["extract_docs_per_sec"],
+        "docs_per_sec_32cpus": hi["extract_docs_per_sec"],
+        "scaling_efficiency": round(
+            (lo["queries"]["extract_spans"]
+             / hi["queries"]["extract_spans"]) / 4.0, 3),
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on identical input; scaling
+    efficiency = (t_8 / t_32) / (32 / 8). Extraction only (the other
+    suite queries are sf-bound and finish in ~1 s each — they would
+    measure startup, not scaling). Three modes: map-only, real skew
+    tail (the groupby-reassembly shuffle IS inside the measurement),
+    and the media hash-join path."""
+    import pyarrow.parquet as pq
+
+    base = max(100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
+    # per-mode corpus multipliers: enough pipeline work to amortize the
+    # ~4-8 s session/pool floor; the heavier modes need fewer docs
+    mode_docs = {"never": 20 * base, "skew": 10 * base, "join": 10 * base}
+
+    # warm-up, untimed: generate the corpora (Ray-parallel) and pull
+    # bytes into the OS page cache so the timed runs measure compute +
     # shuffle, not the first disk read
     import ray
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    corpora = set()
     try:
-        corpus, _ = _corpus_for_bench(SF_DIR, n_docs_override=scale_docs)
+        for n in set(mode_docs.values()):
+            corpus, _ = _corpus_for_bench(SF_DIR, n_docs_override=n)
+            corpora.add(corpus)
     finally:
         ray.shutdown()
     import glob
-    for f in glob.glob(f"{corpus}/**/*.parquet", recursive=True) + \
-            glob.glob(f"{SF_DIR}/*.parquet"):
-        with open(f, "rb") as fh:
-            while fh.read(1 << 22):
-                pass
+    for c in corpora:
+        for f in glob.glob(f"{c}/**/*.parquet", recursive=True):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
 
-    lo, hi = one(8), one(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    modes = [_scaling_one_mode(m, mode_docs[m])
+             for m in ("never", "skew", "join")]
     return {
         "metric": "scaling efficiency, num_cpus 8 -> 32, identical input",
-        "sec_8cpus": lo["value"],
-        "sec_32cpus": hi["value"],
-        "docs_per_sec_8cpus": lo["extract_docs_per_sec"],
-        "docs_per_sec_32cpus": hi["extract_docs_per_sec"],
-        "extract_sec_8cpus": lo["queries"]["extract_spans"],
-        "extract_sec_32cpus": hi["queries"]["extract_spans"],
-        "extract_scaling_efficiency": round(
-            (lo["queries"]["extract_spans"] / hi["queries"]["extract_spans"]) / 4.0, 3),
-        "scaling_efficiency": round(eff, 3),
+        "modes": modes,
+        "scaling_efficiency": modes[0]["scaling_efficiency"],
         "sf": SF_DIR,
     }
 

@@ -117,6 +117,10 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
     oracle's exhaustive answer because LSH recall at this threshold is
     ~1 by construction.
     """
+    num_buckets = 64  # coarse shuffle key: bounded groups, one
+    # vectorized pass per bucket (a raw groupby(band_key) would pay
+    # per-group overhead on millions of singleton buckets)
+
     def band_rows(batch: pa.Table) -> pa.Table:
         out_band, out_doc = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
@@ -126,22 +130,28 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
             sig = ts.minhash_signature(shingles, num_perms=128)
             out_band.extend(ts.lsh_band_ints(sig, bands=32))
             out_doc.extend([did] * 32)
-        return pa.table({"band_key": pa.array(out_band, type=pa.int64()),
-                         "doc_id": pa.array(out_doc, type=pa.int64())})
+        band = np.asarray(out_band, dtype=np.int64)
+        return pa.table({"band_key": pa.array(band, type=pa.int64()),
+                         "doc_id": pa.array(out_doc, type=pa.int64()),
+                         "bucket": pa.array(band % num_buckets,
+                                            type=pa.int64())})
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
+        # only band keys shared by >1 doc can produce candidates
+        g = g[g.duplicated("band_key", keep=False)]
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for _, sub in g.groupby("band_key", sort=False):
+            ids = sorted(set(sub["doc_id"].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
                              "doc_b": pd.Series(b, dtype="int64")})
 
     pairs = _augmented_docs(sf_dir) \
         .map_batches(band_rows, batch_format="pyarrow") \
-        .groupby("band_key").map_groups(emit_pairs, batch_format="pandas") \
+        .groupby("bucket").map_groups(emit_pairs, batch_format="pandas") \
         .to_pandas()
     assert len(pairs) <= MAX_DRIVER_PAIRS, "candidate pairs exceed driver guard"
     pairs = pairs.drop_duplicates().reset_index(drop=True)

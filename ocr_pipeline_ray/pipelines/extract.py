@@ -213,14 +213,21 @@ def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
     return small.union(big)
 
 
-def extract_fields_per_doc(spans_ds):
+def extract_fields_per_doc(spans_ds, num_buckets: int = 64):
     """Ordered spans → one row per document with extracted utility fields
-    (reference extract_fields path, pipeline.py:2340-2380), per-field
-    confidences (A4 pattern, pipeline.py:2505-2529: confidence of the
-    spans whose text contains the match, capped 0.99; defaults 0.9/0.85),
-    validation status (pipeline.py:2769-2808), a sha256 content digest
-    (F12, pipeline.py:2580-2585) and mean span confidence."""
+    (reference extract_fields path, pipeline.py:2340-2380, now incl. the
+    F10 KIE fallback + F11 correction loop and the full F7 aux set),
+    per-field confidences (A4 pattern, pipeline.py:2505-2529: confidence
+    of the spans whose text contains the match, capped 0.99; defaults
+    0.9/0.85), validation status (pipeline.py:2769-2808), a sha256
+    content digest (F12, pipeline.py:2580-2585) and mean span conf.
+
+    Shuffle key is ``crc32(doc_id) % num_buckets`` (int64) with one
+    vectorized pandas pass per bucket — the same `_add_bucket` pattern
+    as reassembly; a raw utf8 ``groupby(doc_id)`` pays Ray's string
+    sort-agg floor and emits one-row frames per doc."""
     import hashlib
+    import zlib
 
     import numpy as np
     import pandas as pd
@@ -236,18 +243,24 @@ def extract_fields_per_doc(spans_ds):
             return default
         return float(min(0.99, hit["conf"].min()))
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+    def per_doc(g: pd.DataFrame) -> dict:
         g = g.sort_values("order", kind="mergesort")
         full_text = "\n".join(g["text"])
         fields = extract_fields(full_text)
         status, warnings = validate_fields(fields)
-        return pd.DataFrame([{
+        return {
             "doc_id": g["doc_id"].iloc[0],
             "electricity_kwh": fields["electricity_kwh"],
             "carbon_kgco2e": fields["carbon_kgco2e"],
             "account_number": fields["account_number"],
             "bill_date": fields["bill_date"],
             "meter_reading": fields["meter_reading"],
+            "water_m3": fields["water_m3"],
+            "billing_start": fields["billing_start"],
+            "billing_end": fields["billing_end"],
+            "current_reading": fields["current_reading"],
+            "previous_reading": fields["previous_reading"],
+            "peak_demand_kw": fields["peak_demand_kw"],
             "conf_electricity": _field_conf(g, fields["electricity_kwh"], 0.9),
             "conf_carbon": _field_conf(g, fields["carbon_kgco2e"], 0.85),
             "status": status,
@@ -255,9 +268,19 @@ def extract_fields_per_doc(spans_ds):
             "n_spans": len(g),
             "doc_conf": float(np.mean(g["conf"])) if len(g) else 0.0,
             "doc_digest": hashlib.sha256(full_text.encode()).hexdigest(),
-        }])
+        }
 
-    return spans_ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [zlib.crc32(d.encode()) % num_buckets
+             for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("fbucket", pa.array(b, type=pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = [per_doc(sub) for _, sub in g.groupby("doc_id", sort=True)]
+        return pd.DataFrame(rows)
+
+    return spans_ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("fbucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def lineage_metrics(spans_ds) -> pa.Table:

@@ -39,7 +39,7 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
         })
         g = df.groupby("media_kind", as_index=False).agg(
             n=("size_i", "size"), total_bytes=("size_i", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     from ..stages.agg import partial_merge
     out = partial_merge(feats, partial, keys=["media_kind"],
@@ -60,36 +60,36 @@ def frame_samples(sf_dir: str) -> pd.DataFrame:
 
 
 def ensemble_vote_merge(sf_dir: str) -> pd.DataFrame:
-    """Three synthetic 'engines' over the corpus pages (clean / box-jitter
-    / low-conf char-corrupt — the reference's paddle/tesseract/easyocr
-    trio shape) → J2 vote-merge per page. Returns merged tokens."""
+    """The REAL engine stack's per-line readings (stages.ocr
+    ``engine_readings`` — exactly what OcrStage votes on at 300 DPI)
+    exploded to a (doc_id, engine, text, conf, bbox) token table and
+    merged by the generic J2/J3 ``ensemble_merge`` stage. The merged
+    line text equals the flagship ``read_line`` winner for every line
+    (asserted exactly in tests/test_modelops.py)."""
+    from ..stages import media_stub
+    from ..stages.ocr import engine_readings
+
     corpus = _corpus(sf_dir)
     media = rd.read_parquet(f"{corpus}/media")
 
     def explode_engines(t: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "engine": [], "text": [], "conf": [],
                 "x1": [], "y1": [], "x2": [], "y2": []}
-        for ref, lines in zip(t["media_ref"].to_pylist(),
-                              t["truth_lines"].to_pylist()):
-            if not lines:
+        for ref, payload in zip(t["media_ref"].to_pylist(),
+                                t["payload"].to_pylist()):
+            if media_stub.classify_payload(payload) != "page":
                 continue
-            for li in lines[:5]:
-                w = 8 * max(1, len(li["text"]))
-                for eng, (dx, conf, corrupt) in {
-                        "clean": (0, 0.9, False),
-                        "jitter": (2, 0.8, False),
-                        "weak": (1, 0.4, True)}.items():
-                    text = li["text"]
-                    if corrupt:
-                        text = text.replace("1", "l").replace("0", "O")
+            for text, x, y in media_stub.decode_page(payload)[:5]:
+                w = 8 * max(1, len(text))
+                for eng, variant, conf in engine_readings(text, 300):
                     rows["doc_id"].append(ref)
                     rows["engine"].append(eng)
-                    rows["text"].append(text)
+                    rows["text"].append(variant)
                     rows["conf"].append(conf)
-                    rows["x1"].append(float(li["x"] + dx))
-                    rows["y1"].append(float(li["y"]))
-                    rows["x2"].append(float(li["x"] + dx + w))
-                    rows["y2"].append(float(li["y"] + 20))
+                    rows["x1"].append(float(x))
+                    rows["y1"].append(float(y))
+                    rows["x2"].append(float(x + w))
+                    rows["y2"].append(float(y + 20))
         return pa.table(rows)
 
     tokens = media.map_batches(explode_engines, batch_format="pyarrow",

@@ -81,7 +81,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             qty_i=("qty_i", "sum"), base_i=("base_i", "sum"),
             disc_price_i=("disc_price_i", "sum"), charge_i=("charge_i", "sum"),
             disc_i=("disc_i", "sum"), count_order=("qty_i", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(
         ds, partial, keys=["l_returnflag", "l_linestatus"],
@@ -117,7 +117,7 @@ def _li_rev_partial(sf_dir: str):
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
                            "rev_i": _i64(ext * (1 - disc))})
         g = df.groupby("l_orderkey", as_index=False)["rev_i"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
@@ -159,7 +159,7 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             g.sort_values(["rev_i", "l_orderkey"],
                           ascending=[False, True]).head(10),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata()
 
     # batch_size=None: one batch per join partition → per-key totals are
     # complete inside the task (hash-partitioning invariant of the join)
@@ -216,7 +216,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"n_nationkey": t["n_nationkey"].to_numpy(),
                            "rev_i": t["rev_i"].to_numpy()})
         g = df.groupby("n_nationkey", as_index=False)["rev_i"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(joined, partial, keys=["n_nationkey"],
                         agg_spec={"rev_i": ("rev_i", "sum")})
@@ -257,7 +257,7 @@ def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
     def topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]).head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata()
 
     out = ds.map_batches(topk, batch_format="pyarrow", batch_size=65536).to_pandas()
     out = out.sort_values(["o_totalprice", "o_orderkey"],
@@ -280,7 +280,7 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("c_mktsegment", as_index=False).agg(
             bal_i=("bal_i", "sum"), n_customers=("bal_i", "size"),
             min_acctbal=("bal", "min"), max_acctbal=("bal", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, partial, keys=["c_mktsegment"],
                         agg_spec={"bal_i": ("bal_i", "sum"),
@@ -325,7 +325,7 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
         }).drop_duplicates("l_orderkey")  # block-complete per orderkey
         g = df.groupby("o_orderpriority", as_index=False).agg(
             n_orders=("l_orderkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(joined, late_partial, keys=["o_orderpriority"],
                         agg_spec={"n_orders": ("n_orders", "sum")},
@@ -357,7 +357,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pylist()})
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n_customers=("c_mktsegment", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(anti, count_partial, keys=["c_mktsegment"],
                         agg_spec={"n_customers": ("n_customers", "sum")})
@@ -409,7 +409,7 @@ def orders_join_customer_stats(sf_dir: str) -> pd.DataFrame:
                            "price_i": t["price_i"].to_numpy()})
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("price_i", "size"), price_i=("price_i", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(joined, partial, keys=["c_mktsegment"],
                         agg_spec={"n_orders": ("n_orders", "sum"),
@@ -431,7 +431,7 @@ def distinct_lang_source(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata()
 
     frames = [b for b in ds.map_batches(partial, batch_format="pyarrow")
               .iter_batches(batch_format="pandas")]
@@ -485,7 +485,7 @@ def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
                            "bal_i": _i64(t["s_acctbal"].to_numpy())})
         g = df.groupby("s_nationkey", as_index=False).agg(
             n_suppliers=("bal_i", "size"), bal_i=("bal_i", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, partial, keys=["s_nationkey"],
                         agg_spec={"n_suppliers": ("n_suppliers", "sum"),
@@ -520,7 +520,7 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("p_brand", as_index=False).agg(
             price_i=("price_i", "sum"), n_parts=("price_i", "size"),
             max_size=("p_size", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, partial, keys=["p_brand"],
                         agg_spec={"price_i": ("price_i", "sum"),

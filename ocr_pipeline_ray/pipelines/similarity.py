@@ -86,7 +86,7 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
         t = mass(batch)
         g = t.to_pandas().groupby("label", as_index=False).agg(
             n_vecs=("vs_i", "size"), vs_i=("vs_i", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, mass_partial, keys=["label"],
                         agg_spec={"n_vecs": ("n_vecs", "sum"),

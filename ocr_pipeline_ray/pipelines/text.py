@@ -105,7 +105,7 @@ def quality_by_lang(sf_dir: str) -> pd.DataFrame:
         t = score(batch)
         g = t.to_pandas().groupby("lang", as_index=False).agg(
             n_docs=("q_i", "size"), q_i=("q_i", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, score_partial, keys=["lang"],
                         agg_spec={"n_docs": ("n_docs", "sum"),
@@ -130,7 +130,7 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
         t = predict(batch)
         g = t.to_pandas().groupby(["lang", "predicted_lang"],
                                   as_index=False).agg(n=("lang", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     out = partial_merge(ds, predict_partial, keys=["lang", "predicted_lang"],
                         agg_spec={"n": ("n", "sum")})

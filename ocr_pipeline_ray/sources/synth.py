@@ -42,6 +42,10 @@ _BILL_TEMPLATES = (
     "Account Number: {a}",
     "Bill Date {d}",
     "Meter Reading {m}",
+    "From {d} To {d2}",
+    "Current Reading {m} Previous Reading {m2}",
+    "Peak Demand {p} kW",
+    "Water {w} m3",
 )
 
 # Digit → confusable corruption (the inverse direction of charfix F1).
@@ -78,6 +82,8 @@ def _words(rng: np.random.RandomState, n: int) -> str:
 
 
 def _bill_line(rng: np.random.RandomState) -> str:
+    # every placeholder draws eagerly so the rng stream length per bill
+    # line is fixed regardless of the chosen template (determinism)
     t = _BILL_TEMPLATES[rng.randint(0, len(_BILL_TEMPLATES))]
     e = int(rng.randint(60, 40_000))
     return t.format(
@@ -86,6 +92,10 @@ def _bill_line(rng: np.random.RandomState) -> str:
         a=f"{rng.randint(10**7, 10**9)}{rng.randint(10, 99)}",
         d=f"{rng.randint(1, 29):02d}/{rng.randint(1, 13):02d}/{rng.randint(2019, 2026)}",
         m=int(rng.randint(1_000, 9_999_999)),
+        d2=f"{rng.randint(1, 29):02d}/{rng.randint(1, 13):02d}/{rng.randint(2019, 2026)}",
+        m2=int(rng.randint(1_000, 9_999_999)),
+        p=int(rng.randint(2, 900)),
+        w=int(rng.randint(20, 900)),
     )
 
 

@@ -121,14 +121,11 @@ def line_confidence(raw: str) -> float:
     return max(CONF_FLOOR, 0.98 - 0.03 * suspect_char_count(raw))
 
 
-def read_line(raw: str, dpi: int) -> tuple[str, float]:
-    """Three engine readings of one line + J2/J3 vote-merge.
-
-    weight(variant) = sum(conf of its readers) × votes / n²  — the
-    per-group weighted vote of stages.ensemble.vote_merge_tokens; the
-    winner's confidence is the best reader's (J3 winner selection).
-    Deterministic ties → lexicographically smallest variant.
-    """
+def engine_readings(raw: str, dpi: int) -> list[tuple[str, str, float]]:
+    """The three engines' independent readings of one line:
+    [(engine_name, variant_text, conf)]. This is the exact input the
+    flagship vote merges — ``pipelines.modelops.ensemble_vote_merge``
+    explodes it through the generic J2 token-merge stage."""
     if dpi < 600 and len(raw) > TRUNC_CHARS_300:
         seen, pen = raw[:TRUNC_CHARS_300], TRUNC_PENALTY
     else:
@@ -137,11 +134,24 @@ def read_line(raw: str, dpi: int) -> tuple[str, float]:
     s_raw = suspect_char_count(seen)
     s_fix = s_raw if fixw == seen else suspect_char_count(fixw)
 
-    readings: list[tuple[str, float]] = []
-    for _name, base, weight, variant in ENGINE_PARAMS[dpi]:
+    out: list[tuple[str, str, float]] = []
+    for name, base, weight, variant in ENGINE_PARAMS[dpi]:
         text = seen if variant == "raw" else fixw
         s = s_raw if variant == "raw" else s_fix
-        readings.append((text, max(CONF_FLOOR, base - weight * s - pen)))
+        out.append((name, text, max(CONF_FLOOR, base - weight * s - pen)))
+    return out
+
+
+def read_line(raw: str, dpi: int) -> tuple[str, float]:
+    """Three engine readings of one line + J2/J3 vote-merge.
+
+    weight(variant) = sum(conf of its readers) × votes / n²  — the
+    per-group weighted vote of stages.ensemble.vote_merge_tokens; the
+    winner's confidence is the best reader's (J3 winner selection),
+    docked per dissenting engine. Deterministic ties →
+    lexicographically smallest variant.
+    """
+    readings = [(text, conf) for _name, text, conf in engine_readings(raw, dpi)]
 
     votes: dict[str, tuple[float, int]] = {}
     for text, conf in readings:

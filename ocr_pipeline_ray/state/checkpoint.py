@@ -9,12 +9,15 @@ inventory: a killed run loses everything), so this is new design:
   hash of ``doc_id`` (crc32 — never Python ``hash()``, which is
   per-process randomized);
 - each partition runs the full extraction pipeline and writes parquet
-  to a temp dir that is atomically renamed to ``part={pid}/`` followed
-  by a ``_SUCCESS`` marker + ``_lineage.json`` (counts by status,
-  docs, spans, confidence histogram, wall time);
+  + ``_lineage.json`` (counts by status, docs, spans, confidence
+  histogram, wall time) + the ``_SUCCESS`` marker into a TEMP dir that
+  is then atomically renamed to ``part={pid}/`` — data and commit
+  marker appear together, so no kill window can expose an uncommitted
+  partition;
 - resume = re-invoke with the same args: partitions whose marker
-  exists are skipped, everything else recomputes. Output readers glob
-  ``part=*/*.parquet``.
+  exists are skipped, everything else recomputes. Output readers MUST
+  filter to partitions containing ``_SUCCESS`` (glob
+  ``part=*/_SUCCESS`` then read that partition's ``*.parquet``).
 
 At 100 TB the partition count is sized so one partition's spans fit
 comfortably in the cluster's object store (e.g. 4096 partitions of
@@ -95,13 +98,18 @@ def run_partitioned(corpus_dir: str, out_dir: str, num_parts: int = 8) -> dict:
         spans.write_parquet(tmp_dir)
         # lineage from the committed files (read-back = what readers see)
         spans_df = rd.read_parquet(tmp_dir).to_pandas()
+        # marker + lineage are written INTO the temp dir BEFORE the
+        # atomic rename, so data and commit marker appear together: a
+        # kill in any window leaves either no part dir or a complete
+        # one, and readers that filter on _SUCCESS (as documented)
+        # never observe a half-published partition.
+        with open(os.path.join(tmp_dir, "_lineage.json"), "w") as f:
+            json.dump(_lineage_record(spans_df, pid, time.time() - t0), f)
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.rename(tmp_dir, part_dir)
-        with open(os.path.join(part_dir, "_lineage.json"), "w") as f:
-            json.dump(_lineage_record(spans_df, pid, time.time() - t0), f)
-        with open(marker, "w") as f:
-            f.write("ok")
         completed.append(pid)
     return {"completed": completed, "skipped": skipped}
 

@@ -39,6 +39,35 @@ def test_fields_schema_and_validity(fields_df):
     assert (fields_df.loc[~present, "conf_electricity"] == 0).all()
 
 
+def test_aux_fields_present_in_corpus(fields_df):
+    """F7 completion: the generator emits billing period / readings /
+    peak demand / water lines, and the extractors find them."""
+    for col in ("water_m3", "billing_start", "billing_end",
+                "current_reading", "previous_reading", "peak_demand_kw"):
+        assert col in fields_df.columns
+        assert fields_df[col].notna().sum() > 0, f"{col} never extracted"
+
+
+def test_kie_and_correction_loop_recover_degraded_fields():
+    """F10/F11: fields the regex bank alone misses are recovered by the
+    contextual scorer and the correction loop."""
+    from ocr_pipeline_ray.functions.regex_banks import (_bank_pass,
+                                                        extract_fields)
+
+    # bank misses (no kWh unit anywhere) → KIE elects from context
+    t1 = "monthly electricity usage was 2990 this period"
+    assert _bank_pass(t1)["electricity_kwh"] is None
+    assert extract_fields(t1)["electricity_kwh"] == 2990
+    # fully-corrupted number (no digit witness) → aggressive last chance
+    t2 = "Electricity lZOS kWh"
+    assert _bank_pass(t2)["electricity_kwh"] is None
+    assert extract_fields(t2)["electricity_kwh"] == 1205
+    # F11: raw (un-fixed) text re-extracted after numerical correction
+    t3 = "Total Consumption Z99O kWh"
+    assert _bank_pass(t3)["electricity_kwh"] is None
+    assert extract_fields(t3)["electricity_kwh"] == 2990
+
+
 def test_doc_digest_matches_sha256_of_text(small_corpus, fields_df):
     docs = rd.read_parquet(f"{small_corpus}/documents_spans")
     ref = build_media_lookup(f"{small_corpus}/media")

@@ -105,7 +105,10 @@ def run_bench() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)  # worker log noise (cosmetic schema-
+    # hash warnings from the driver-shipped parquet metadata) stays out
+    # of the bench output; failures still surface as exceptions
     try:
         import ray.data as rd
         from ray.data import DataContext

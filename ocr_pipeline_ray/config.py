@@ -6,8 +6,11 @@ tau_accept=0.95, tau_enhance=0.90, tau_llm=0.85) and size guards
 re-expressed as dataflow constants for the cascade stage.
 """
 
-# Confidence-threshold cascade (SURVEY §2.7 R1).
-TAU_ACCEPT = 0.95
+# Confidence-threshold cascade (SURVEY §2.7 R1). The reference's
+# tau_accept (0.95, instant accept) coincides with "above tau_enhance →
+# no retry" in this dataflow, so only the two decision thresholds
+# exist; when calibration is active both are re-derived from target
+# accuracies (stages/ocr.py ACC_TARGET_*).
 TAU_ENHANCE = 0.90
 TAU_LLM = 0.85
 
@@ -20,7 +23,6 @@ MAX_TEXT_SPAN_CHARS = 1_000_000
 # context/range validators, pipeline.py:2115-2221).
 LINK_DENSITY_DROP = 0.5    # > this fraction of link chars → boilerplate
 MIN_TEXT_CHARS = 12        # shorter text nodes are boilerplate unless heading
-STOPWORD_KEEP = 0.18       # stopword ratio >= this → content-ish
 
 # Shuffle knobs.
 DEFAULT_SALT_BUCKETS = 16      # salted groupby(doc_id) for skewed docs

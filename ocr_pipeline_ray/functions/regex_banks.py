@@ -199,6 +199,31 @@ def _merge_missing(base: dict[str, Any], extra: dict[str, Any]) -> None:
             base[k] = v
 
 
+_SEWA_DECIMAL = re.compile(r"\b([0-9]{2,4}\.[0-9]{2})\b")
+
+
+def sewa_table_heuristic(text: str) -> dict[str, Any]:
+    """F7 tail: SEWA/Sharjah bills print consumption as a bare decimal
+    table (no unit next to the number). Mirror of the reference's
+    provider-specific election (pytorch_mobile/ocr_pipeline.py:1005-
+    1048): collect plausible decimal consumption values, electricity =
+    largest, water = second largest."""
+    if "SEWA" not in text and "Sharjah" not in text:
+        return {}
+    vals = []
+    for m in _SEWA_DECIMAL.finditer(text):
+        v = float(m.group(1))
+        if 50.0 <= v <= 1000.0:
+            vals.append(v)
+    vals.sort(reverse=True)
+    out: dict[str, Any] = {}
+    if vals:
+        out["electricity_kwh"] = int(vals[0])
+    if len(vals) >= 2:
+        out["water_m3"] = int(vals[1])
+    return out
+
+
 def extract_fields(text: str) -> dict[str, Any]:
     """Full extraction stack over one document text: primary banks (F5-
     F7), then the F11 correction loop (re-extract from corrected text,
@@ -217,6 +242,10 @@ def extract_fields(text: str) -> dict[str, Any]:
     corrected = fix_text(text)
     if corrected != text:
         _merge_missing(fields, _bank_pass(corrected))
+
+    # Provider-specific table heuristic (fills only missing fields).
+    if fields["electricity_kwh"] is None or fields["water_m3"] is None:
+        _merge_missing(fields, sewa_table_heuristic(corrected))
 
     # F10: contextual KIE fallback for the two primary fields.
     if fields["electricity_kwh"] is None or fields["carbon_kgco2e"] is None:

@@ -42,6 +42,7 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
     from ..stages.agg import partial_merge
+    # cardinality: media_kind has 4 values — bounded, partial_merge-safe
     out = partial_merge(feats, partial, keys=["media_kind"],
                         agg_spec={"n": ("n", "sum"),
                                   "total_bytes": ("total_bytes", "sum")})

@@ -83,6 +83,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             disc_i=("disc_i", "sum"), count_order=("qty_i", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: (returnflag, linestatus) = 6 groups — bounded
     out = partial_merge(
         ds, partial, keys=["l_returnflag", "l_linestatus"],
         agg_spec={c: (c, "sum") for c in
@@ -127,22 +128,31 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 
     Scale shape (orders is a FACT table — 1.5B rows at sf1000 — so no
     orders-keyed driver dict / broadcast set anywhere):
-    1. orders left_semi customer(BUILDING) — hash-partitioned;
+    1. the BUILDING customer KEYS are a filtered DIMENSION column →
+       broadcast once as zero-copy Arrow and semi-filter orders with
+       ``pc.is_in`` per batch (broadcast semi-join; at a scale where
+       even the filtered customer keys outgrow workers, swap for a
+       ``left_semi`` Dataset.join);
     2. lineitem (pre-aggregated per batch) inner-join the surviving
        orders on orderkey — the join hash-partitions by key, so each
        output partition holds ALL rows of its orderkeys;
     3. per-partition (batch_size=None ⇒ whole block) final sum +
        local top-10 → driver merges num_partitions × 10 rows."""
-    cust_b = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_mktsegment"]) \
-        .filter(expr="c_mktsegment == 'BUILDING'") \
-        .select_columns(["c_custkey"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders_b = orders.join(cust_b, join_type="left_semi", num_partitions=8,
-                           on=("o_custkey",), right_on=("c_custkey",),
-                           aggregator_ray_remote_args={"num_cpus": 0.1}) \
-        .select_columns(["o_orderkey", "o_orderdate"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    building = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    bkeys_ref = ray.put(building.combine_chunks())
+
+    def semi_building(t: pa.Table) -> pa.Table:
+        keys = ray.get(bkeys_ref)  # zero-copy Arrow from the object store
+        return t.filter(pc.is_in(t["o_custkey"], value_set=keys)) \
+            .select(["o_orderkey", "o_orderdate"])
+
+    orders_b = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(semi_building, batch_format="pyarrow")
 
     joined = _li_rev_partial(sf_dir).join(
         orders_b, join_type="inner", num_partitions=8,
@@ -218,6 +228,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("n_nationkey", as_index=False)["rev_i"].sum()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: n_nationkey = 25 groups — bounded
     out = partial_merge(joined, partial, keys=["n_nationkey"],
                         agg_spec={"rev_i": ("rev_i", "sum")})
     out["n_name"] = out["n_nationkey"].map(nation_name)
@@ -282,6 +293,7 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
             min_acctbal=("bal", "min"), max_acctbal=("bal", "max"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: c_mktsegment = 5 groups — bounded
     out = partial_merge(ds, partial, keys=["c_mktsegment"],
                         agg_spec={"bal_i": ("bal_i", "sum"),
                                   "n_customers": ("n_customers", "sum"),
@@ -327,6 +339,7 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
             n_orders=("l_orderkey", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: o_orderpriority = 5 groups — bounded
     out = partial_merge(joined, late_partial, keys=["o_orderpriority"],
                         agg_spec={"n_orders": ("n_orders", "sum")},
                         batch_size=None)
@@ -359,6 +372,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
             n_customers=("c_mktsegment", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: c_mktsegment = 5 groups — bounded
     out = partial_merge(anti, count_partial, keys=["c_mktsegment"],
                         agg_spec={"n_customers": ("n_customers", "sum")})
     if out.empty:  # empty aggregates lose their schema on to_pandas
@@ -411,6 +425,7 @@ def orders_join_customer_stats(sf_dir: str) -> pd.DataFrame:
             n_orders=("price_i", "size"), price_i=("price_i", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: c_mktsegment = 5 groups — bounded
     out = partial_merge(joined, partial, keys=["c_mktsegment"],
                         agg_spec={"n_orders": ("n_orders", "sum"),
                                   "price_i": ("price_i", "sum")})
@@ -487,6 +502,7 @@ def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
             n_suppliers=("bal_i", "size"), bal_i=("bal_i", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: s_nationkey = 25 groups — bounded
     out = partial_merge(ds, partial, keys=["s_nationkey"],
                         agg_spec={"n_suppliers": ("n_suppliers", "sum"),
                                   "bal_i": ("bal_i", "sum")})
@@ -522,6 +538,7 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
             max_size=("p_size", "max"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: p_brand = 25 groups — bounded
     out = partial_merge(ds, partial, keys=["p_brand"],
                         agg_spec={"price_i": ("price_i", "sum"),
                                   "n_parts": ("n_parts", "sum"),

@@ -88,6 +88,7 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
             n_vecs=("vs_i", "size"), vs_i=("vs_i", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: label — small fixed label set, bounded
     out = partial_merge(ds, mass_partial, keys=["label"],
                         agg_spec={"n_vecs": ("n_vecs", "sum"),
                                   "vs_i": ("vs_i", "sum")})

@@ -107,6 +107,7 @@ def quality_by_lang(sf_dir: str) -> pd.DataFrame:
             n_docs=("q_i", "size"), q_i=("q_i", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: lang = 5 values — bounded
     out = partial_merge(ds, score_partial, keys=["lang"],
                         agg_spec={"n_docs": ("n_docs", "sum"),
                                   "q_i": ("q_i", "sum")})
@@ -132,6 +133,7 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
                                   as_index=False).agg(n=("lang", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
 
+    # cardinality: (lang, predicted) <= 5x5 — bounded
     out = partial_merge(ds, predict_partial, keys=["lang", "predicted_lang"],
                         agg_spec={"n": ("n", "sum")})
     out["n"] = out["n"].astype("int64")

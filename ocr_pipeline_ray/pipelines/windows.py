@@ -39,6 +39,8 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("val_i", "size"), val_i=("val_i", "sum"))
 
+    # cardinality: event_type x hour — grows only with the time span
+    # (~types x hours, e.g. 5 x 10k for a year of data), not with rows
     out = partial_merge(ds, partial, keys=["event_type", "hour"],
                         agg_spec={"n_events": ("n_events", "sum"),
                                   "val_i": ("val_i", "sum")},

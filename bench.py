@@ -86,8 +86,13 @@ def _build_extract(docs, media_ref, media_ds, calib, mode: str):
 
     conc = max(2, NUM_CPUS - 2)
     if mode == "join":
-        return extract_spans(docs, media_ds=media_ds, join_partitions=64,
-                             ocr_concurrency=conc, calib=calib)
+        # 16 partitions; the OCR pool leaves headroom for the join
+        # aggregators (16 x 0.1 CPU) AND the task-pool map/shuffle
+        # stages — a pool of NUM_CPUS-2 starves them and the executor
+        # stalls (measured at 8 CPUs)
+        return extract_spans(docs, media_ds=media_ds, join_partitions=16,
+                             ocr_concurrency=max(2, NUM_CPUS - 4),
+                             calib=calib)
     if mode == "skew":
         return extract_spans_hybrid(docs, media_lookup_ref=media_ref,
                                     ocr_concurrency=conc, calib=calib,
@@ -215,7 +220,8 @@ def run_scaling() -> dict:
     base = max(100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
     # per-mode corpus multipliers: enough pipeline work to amortize the
     # ~4-8 s session/pool floor; the heavier modes need fewer docs
-    mode_docs = {"never": 20 * base, "skew": 10 * base, "join": 10 * base}
+    # (the join mode runs the exploded path: join + reassembly shuffle)
+    mode_docs = {"never": 10 * base, "skew": 10 * base, "join": 5 * base}
 
     # warm-up, untimed: generate the corpora (Ray-parallel) and pull
     # bytes into the OS page cache so the timed runs measure compute +

@@ -12,11 +12,12 @@ Media-payload resolution has two strategies:
   driver and each OCR actor maps it zero-copy in ``__init__`` — the
   classic small-side broadcast join; zero shuffle, payloads shipped to
   each node once, not per batch.
-- ``join`` (the 100 TB path, media table too big to broadcast): a
-  hash-partitioned ``Dataset.join`` on ``media_ref`` co-locates span
-  rows with payloads; only media-kind rows enter the join (text rows
-  bypass it and union back), so the shuffle moves exactly the bytes
-  that need OCR.
+- ``join`` (the 100 TB path, media table too big to broadcast): the
+  media table is OCR'd in place by an actor pool, then a
+  hash-partitioned ``Dataset.join`` on ``media_ref`` attaches the
+  extracted TEXT to the span rows (text spans bypass the join and
+  union back). Payload bytes never enter the shuffle — the exchange
+  moves only narrow text rows.
 
 Both return the same schema and byte-identical results (tested).
 """
@@ -98,14 +99,6 @@ def build_media_lookup(media_path: str) -> Any:
     return ray.put(t.combine_chunks())
 
 
-def _init_media_status(batch: pa.Table) -> pa.Table:
-    """Media-branch columns (status='pending', conf=0.0) before the join."""
-    n = batch.num_rows
-    return batch.append_column(
-        "status", pa.array(["pending"] * n, type=pa.string())
-    ).append_column("conf", pa.array([0.0] * n, type=pa.float64()))
-
-
 def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
                   ocr_concurrency=(1, 8),
                   join_partitions: int = MEDIA_JOIN_BUCKETS,
@@ -121,34 +114,36 @@ def extract_spans(docs_ds, *, media_lookup_ref=None, media_ds=None,
     exploded = docs_ds.map_batches(explode_spans, batch_format="pyarrow")
 
     if media_ds is not None:
-        # Scale path: text and media branches split right after the cheap
-        # explode (each branch re-scans the pruned documents read — the
-        # docs table is a small fraction of the media bytes). Only media
-        # rows enter the hash join; text rows never touch the shuffle.
-        media_rows = exploded.filter(expr="kind == 'media'") \
-            .map_batches(_init_media_status, batch_format="pyarrow")
-        # no explicit batch_size: a mid-pipeline batch_size forces a
-        # re-bundling pass that measured 3x slower end-to-end; default
-        # block-sized batches keep the map chain fused and zero-copy
+        # Scale path: the media TABLE is decoded in place by an actor
+        # pool (ensemble + cascade + calibration run where the payload
+        # bytes already live), and only the extracted TEXT rows enter
+        # the hash join with the span rows — payloads never cross the
+        # shuffle. (The previous design joined payloads first and
+        # decoded after; shipping the binary column through the
+        # exchange was 3-10× slower and scaled super-linearly.)
+        media_rows = exploded.filter(expr="kind == 'media'")
+        # no explicit batch_size on the text chain: a mid-pipeline
+        # batch_size forces a re-bundling pass that measured 3x slower
+        # end-to-end; block-sized batches keep the chain fused
         text_rows = exploded.filter(expr="kind == 'text'") \
             .map_batches(classify_spans, batch_format="pyarrow") \
             .map_batches(add_passthrough_cols, batch_format="pyarrow")
+        from ..stages.ocr import MediaDecodeStage, apply_media_text
+        media_text = media_ds.select_columns(["media_ref", "payload"]) \
+            .map_batches(
+                MediaDecodeStage, batch_format="pyarrow",
+                batch_size=OCR_BATCH_SIZE, concurrency=ocr_concurrency,
+                num_cpus=OCR_ACTOR_NUM_CPUS,
+                fn_constructor_kwargs={"calib": calib})
         joined = media_rows.join(
-            media_ds.select_columns(["media_ref", "payload"]),
-            join_type="left_outer", num_partitions=join_partitions,
-            on=("media_ref",),
+            media_text, join_type="left_outer",
+            num_partitions=join_partitions, on=("media_ref",),
             # Aggregators are memory-bound accumulators; tiny fractional
             # CPU so a wide join (many partitions) can never starve the
             # OCR actor pool / map tasks into a deadlock on a small node.
             aggregator_ray_remote_args={"num_cpus": 0.1},
         )
-        # OcrStage emits the span schema only (payload column consumed);
-        # the ensemble + cascade + calibration all run inside the pool.
-        ocrd = joined.map_batches(
-            OcrStage, batch_format="pyarrow", batch_size=OCR_BATCH_SIZE,
-            concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
-            fn_constructor_kwargs={"calib": calib},
-        )
+        ocrd = joined.map_batches(apply_media_text, batch_format="pyarrow")
         ds = ocrd.union(text_rows)
     else:
         # Broadcast path: single pass, no branches — classify handles text
@@ -197,18 +192,30 @@ def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
         n = pc.list_value_length(batch["spans"])
         return batch.filter(pc.greater(n, skew_threshold))
 
+    # Both branches execute CONCURRENTLY under the streaming executor
+    # (union), so their fixed-size pools must co-fit in the node's
+    # CPUs. The tail branch carries FEW documents but a large span
+    # share (that is what makes them skewed), so the budget splits
+    # half/half. An autoscaling (1, k) tail pool can stall at min=1
+    # actor and serialize the whole tail (measured).
+    if skew_tail != "never" and isinstance(ocr_concurrency, int):
+        small_conc: Any = max(2, ocr_concurrency // 2)
+        tail_conc: Any = max(2, ocr_concurrency // 2 - 1)
+    else:
+        small_conc, tail_conc = ocr_concurrency, (1, 4)
+
     src = docs_ds if skew_tail == "never" \
         else docs_ds.map_batches(small_only, batch_format="pyarrow")
     small = src.map_batches(
         DocLocalExtract, batch_format="pyarrow",
-        concurrency=ocr_concurrency, num_cpus=OCR_ACTOR_NUM_CPUS,
+        concurrency=small_conc, num_cpus=OCR_ACTOR_NUM_CPUS,
         fn_constructor_kwargs={"media_lookup_ref": media_lookup_ref,
                                "calib": calib})
     if skew_tail == "never":
         return small
     big = extract_spans(
         docs_ds.map_batches(big_only, batch_format="pyarrow"),
-        media_lookup_ref=media_lookup_ref, ocr_concurrency=(1, 4),
+        media_lookup_ref=media_lookup_ref, ocr_concurrency=tail_conc,
         calib=calib)
     return small.union(big)
 

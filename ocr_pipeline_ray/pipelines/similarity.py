@@ -136,39 +136,81 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF-style ANN: deterministic coarse quantizer (first n_cells
-    vectors as centroids), probe the n_probe nearest cells only. The
-    100 TB scale path for knn_brute_force — results are approximate, so
-    this is a rows-only check (recall vs brute force is asserted in
-    tests, not the driver gate)."""
-    ids, mat = _emb_matrix(sf_dir)
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
-    centroids = unit[:n_cells]
-    assign = np.argmax(unit @ centroids.T, axis=1)
-    q = unit[ids == 0][0]
-    probe_cells = set(np.argsort(-(centroids @ q))[:n_probe].tolist())
-    ref = ray.put(q)
+def _train_coarse_quantizer(sample_unit: np.ndarray, n_cells: int,
+                            iters: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side SAMPLE (the
+    standard IVF training step: the quantizer is trained on a small
+    sample, never the full corpus). Strided init, fixed iteration
+    count, empty cells keep their previous centroid."""
+    stride = max(1, len(sample_unit) // n_cells)
+    centroids = sample_unit[::stride][:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample_unit @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample_unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
 
-    ds = rd.from_arrow(pa.table({
-        "vec_id": pa.array(ids, type=pa.int64()),
-        "cell": pa.array(assign, type=pa.int32()),
-        "embedding": pa.array([list(map(float, r)) for r in unit],
-                              type=pa.list_(pa.float64())),
-    })).filter(expr=f"cell in {sorted(probe_cells)}")
 
-    def topk(batch: pa.Table) -> pa.Table:
-        qv = ray.get(ref)
+def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             train_sample: int = 2048) -> pd.DataFrame:
+    """IVF ANN, the 100 TB scale path for knn_brute_force:
+
+    1. TRAIN (driver, small): spherical k-means coarse quantizer on the
+       first ``train_sample`` vectors;
+    2. ASSIGN + PROBE (distributed): every batch normalizes its
+       vectors, assigns them to their nearest centroid (broadcast
+       centroid matrix, one matmul) and keeps only rows in the
+       ``n_probe`` cells nearest the query — the full corpus is never
+       loaded on the driver;
+    3. per-batch top-k over the probed subset → tiny global top-k.
+
+    Results are approximate → rows-only driver check; recall vs brute
+    force is asserted in tests."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=train_sample,
+                                 columns=["vec_id", "embedding"]))
+    sample = np.asarray(first["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    sample_unit = sample / np.where(norms > 0, norms, 1.0)[:, None]
+    centroids = _train_coarse_quantizer(sample_unit, n_cells)
+
+    sample_ids = np.asarray(first["vec_id"].to_pylist(), dtype=np.int64)
+    if 0 in sample_ids:
+        q = sample_unit[sample_ids == 0][0]
+    else:  # query vector outside the training sample: targeted read
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+        qv = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+        q = qv / np.linalg.norm(qv)
+    probe_cells = np.argsort(-(centroids @ q))[:n_probe]
+    ref = ray.put((q, centroids, np.asarray(sorted(probe_cells))))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        qv, cents, cells = ray.get(ref)
         vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        sims = np.round(m @ qv, 6)
-        mask = vid != 0
-        vid, sims = vid[mask], sims[mask]
+        n = np.linalg.norm(m, axis=1)
+        unit = m / np.where(n > 0, n, 1.0)[:, None]
+        assign = np.argmax(unit @ cents.T, axis=1)
+        mask = np.isin(assign, cells) & (vid != 0)
+        vid, unit = vid[mask], unit[mask]
+        sims = np.round(unit @ qv, 6)
         order = np.lexsort((vid, -sims))[:k]
         return pa.table({"vec_id": pa.array(vid[order], type=pa.int64()),
                          "cosine_sim": pa.array(sims[order], type=pa.float64())})
 
-    out = ds.map_batches(topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = ds.map_batches(probe_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
     out = out.sort_values(["cosine_sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)

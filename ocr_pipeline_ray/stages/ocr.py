@@ -328,6 +328,70 @@ class OcrStage:
         })
 
 
+class MediaDecodeStage:
+    """Actor-pool decode of the MEDIA TABLE itself (the join path's
+    heavy stage): payload bytes are processed where they already live
+    and never enter the shuffle — only the extracted text rows
+    (media_ref, m_text, m_conf, m_conf_calibrated, m_status,
+    m_cascade) are joined back to the span rows. Same ensemble /
+    cascade / calibration kernels as OcrStage (byte-equality tested).
+    """
+
+    def __init__(self, calib=None) -> None:
+        self.calib = None
+        if calib is not None:
+            self.calib = (np.asarray(calib[0], dtype=np.float64),
+                          np.asarray(calib[1], dtype=np.float64))
+        self.tau_enhance, self.tau_llm = _resolve_taus(self.calib)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, confs, cals, statuses, cascades = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            text, conf, st, casc = ocr_page_cascade(payload, self.tau_enhance)
+            if self.calib is None or casc in ("digital", "none"):
+                cal = conf
+            else:
+                cal = float(np.interp(conf, self.calib[0], self.calib[1]))
+            if st == "ok" and casc != "digital" and cal < self.tau_llm:
+                st = "low_conf"
+            texts.append(text)
+            confs.append(conf)
+            cals.append(cal)
+            statuses.append(st)
+            cascades.append(casc)
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "m_text": pa.array(texts, type=pa.string()),
+            "m_conf": pa.array(confs, type=pa.float64()),
+            "m_conf_calibrated": pa.array(cals, type=pa.float64()),
+            "m_status": pa.array(statuses, type=pa.string()),
+            "m_cascade": pa.array(cascades, type=pa.string()),
+        })
+
+
+def apply_media_text(batch: pa.Table) -> pa.Table:
+    """Join-path finisher: span rows ⋈ decoded media text → the
+    standard ensemble span schema (missing media ⇒ status
+    'missing_media', dropped later by filter_keep)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    have = pc.is_valid(batch["m_status"])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "kind": batch["kind"],
+        "text": pc.if_else(have, batch["m_text"], pa.scalar("")),
+        "media_ref": batch["media_ref"],
+        "offset": batch["offset"],
+        "status": pc.if_else(have, batch["m_status"],
+                             pa.scalar("missing_media")),
+        "conf": pc.if_else(have, batch["m_conf"], pa.scalar(0.0)),
+        "conf_calibrated": pc.if_else(have, batch["m_conf_calibrated"],
+                                      pa.scalar(0.0)),
+        "cascade": pc.if_else(have, batch["m_cascade"], pa.scalar("none")),
+    })
+
+
 def add_passthrough_cols(batch: pa.Table) -> pa.Table:
     """Text-branch rows (join path) get the ensemble columns so the
     union's schema matches: cascade='accepted', conf_calibrated=conf."""

@@ -218,10 +218,11 @@ def run_scaling() -> dict:
     import pyarrow.parquet as pq
 
     base = max(100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
-    # per-mode corpus multipliers: enough pipeline work to amortize the
-    # ~4-8 s session/pool floor; the heavier modes need fewer docs
-    # (the join mode runs the exploded path: join + reassembly shuffle)
-    mode_docs = {"never": 10 * base, "skew": 10 * base, "join": 5 * base}
+    # per-mode corpus multipliers — the sizes behind the numbers
+    # published in BASELINE.md. The full matrix takes ~20 min; the
+    # shuffle modes stay floor-dominated at sandbox sizes (analysis in
+    # BASELINE.md "Measured (round 2)").
+    mode_docs = {"never": 20 * base, "skew": 30 * base, "join": 5 * base}
 
     # warm-up, untimed: generate the corpora (Ray-parallel) and pull
     # bytes into the OS page cache so the timed runs measure compute +

@@ -47,6 +47,7 @@ class DocLocalExtract:
             self.media_payloads = self.media["payload"]
         else:
             self.media = None
+        self._ref_index: dict[str, int] | None = None
         self.calib = None
         if calib is not None:
             self.calib = (np.asarray(calib[0], dtype=np.float64),
@@ -56,11 +57,15 @@ class DocLocalExtract:
     def _payloads_for(self, refs: list[str]) -> dict[str, bytes]:
         if self.media is None or not refs:
             return {}
-        import pyarrow.compute as pc
-        idx = pc.index_in(pa.array(refs, type=pa.string()),
-                          value_set=self.media_refs)
+        # once-per-actor ref index (see OcrStage._lookup_payloads:
+        # per-batch pc.index_in re-hashes the whole value_set and its
+        # cost grows with corpus size)
+        if self._ref_index is None:
+            self._ref_index = {r: i for i, r in
+                               enumerate(self.media_refs.to_pylist())}
         out = {}
-        for ref, i in zip(refs, idx.to_pylist()):
+        for ref in refs:
+            i = self._ref_index.get(ref)
             if i is not None:
                 out[ref] = self.media_payloads[i].as_py()
         return out

@@ -265,6 +265,7 @@ class OcrStage:
             self.media_payloads = self.media["payload"]
         else:
             self.media = None
+        self._ref_index: dict[str, int] | None = None
         self.calib = None
         if calib is not None:
             self.calib = (np.asarray(calib[0], dtype=np.float64),
@@ -272,10 +273,18 @@ class OcrStage:
         self.tau_enhance, self.tau_llm = _resolve_taus(self.calib)
 
     def _lookup_payloads(self, refs: pa.ChunkedArray) -> list[bytes | None]:
-        import pyarrow.compute as pc
-        idx = pc.index_in(refs, value_set=self.media_refs)
+        # ref→row index built ONCE per actor (lazily, off the zero-copy
+        # broadcast table): pc.index_in re-hashes the whole value_set on
+        # EVERY batch, which made per-batch cost grow with corpus size
+        # (measured super-linear wall at 150k docs). The dict costs
+        # ~100 B/ref of actor heap — the broadcast path is only used
+        # when the media table is node-sized anyway (else: join path).
+        if self._ref_index is None:
+            self._ref_index = {r: i for i, r in
+                               enumerate(self.media_refs.to_pylist())}
         out: list[bytes | None] = []
-        for i in idx.to_pylist():
+        for r in refs.to_pylist():
+            i = self._ref_index.get(r)
             out.append(None if i is None else self.media_payloads[i].as_py())
         return out
 

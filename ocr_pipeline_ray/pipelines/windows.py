@@ -83,28 +83,40 @@ def events_user_stats(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _bucketed(ds, num_buckets: int = 64):
+    """user_id % num_buckets as the (bounded int64) shuffle key."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(t["user_id"].to_numpy() % num_buckets, type=pa.int64())
+        return t.append_column("bucket", b)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min inactivity gap) per user: one row per
-    session with start, n_events, duration. Gaps-and-islands inside a
-    ts-sorted per-user group."""
+    session with start, n_events, duration. Gaps-and-islands over a
+    (user_id, ts)-sorted per-BUCKET frame — a new session starts on a
+    user change or a >30-min gap, so the whole bucket sessionizes in
+    one vectorized pass (no per-user one-row frames)."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
         sid = gap.cumsum()
         out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
             n_events=("event_id", "size"))
-        out["user_id"] = g["user_id"].iloc[0]
         # exact microseconds / 1e6 — bit-identical to the oracle's epoch()
         out["duration_s"] = (
             (out["session_end"] - out["session_start"]).dt.total_seconds())
         out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         return out[["user_id", "session_start", "n_events", "duration_s"]]
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
-        .to_pandas()
+    out = _bucketed(ds).groupby("bucket") \
+        .map_groups(sessionize_bucket, batch_format="pandas").to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
@@ -114,14 +126,15 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     streaming cumulative-state pattern as a per-key ordered fold."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         val_i = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
-        g = g.assign(running_value=val_i.cumsum() / 1e6)
+        g = g.assign(val_i=val_i)
+        g["running_value"] = g.groupby("user_id")["val_i"].cumsum() / 1e6
         return g[["user_id", "event_id", "running_value"]]
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas") \
-        .to_pandas()
+    out = _bucketed(ds).groupby("bucket") \
+        .map_groups(running_bucket, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
@@ -138,21 +151,26 @@ def events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
 
 def errors_with_last_signup(sf_dir: str) -> pd.DataFrame:
     """As-of join: each 'error' event matched to the same user's most
-    recent prior-or-equal 'signup' event (pd.merge_asof per user group)."""
+    recent prior-or-equal 'signup' event — one vectorized
+    ``pd.merge_asof(by='user_id')`` per co-partitioned bucket."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         errors = g[g["event_type"] == "error"]
         signups = g[g["event_type"] == "signup"]
         if errors.empty:
-            return pd.DataFrame(columns=["user_id", "event_id", "signup_event_id"])
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "event_id": pd.Series([], dtype="int64"),
+                                 "signup_event_id": pd.Series([], dtype="float64")})
         merged = pd.merge_asof(
             errors[["user_id", "ts", "event_id"]],
-            signups[["ts", "event_id"]].rename(columns={"event_id": "signup_event_id"}),
-            on="ts", direction="backward")
+            signups[["user_id", "ts", "event_id"]].rename(
+                columns={"event_id": "signup_event_id"}),
+            on="ts", by="user_id", direction="backward")
         out = merged[["user_id", "event_id", "signup_event_id"]]
         return out.astype({"signup_event_id": "float64"})
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    out = _bucketed(ds).groupby("bucket") \
+        .map_groups(asof_bucket, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)

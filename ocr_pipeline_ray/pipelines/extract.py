@@ -43,10 +43,13 @@ def fit_page_calibrator(media_path: str, sample_n: int = 512):
     corpus's construction truth IS the label).
 
     Driver-side and small: the first ``sample_n`` page_png media rows
-    (sorted by media_ref — deterministic) are decoded once at 300 DPI;
-    a page is "correct" when its canonical decode equals the canonical
-    ground truth. Returns ``(knots_x, knots_y)`` or None when the
-    sample is too small (calibration then stays off).
+    (sorted by media_ref — deterministic) are decoded once through the
+    UNCALIBRATED cascade (config default thresholds) — the same
+    quantity the fitted map is later applied to, so 600-DPI-enhanced
+    confidences are inside the fitted domain rather than extrapolated
+    past the top knot. A page is "correct" when its canonical decode
+    equals the canonical ground truth. Returns ``(knots_x, knots_y)``
+    or None when the sample is too small (calibration then stays off).
     """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -54,7 +57,7 @@ def fit_page_calibrator(media_path: str, sample_n: int = 512):
     from ..functions.calibration import MIN_SAMPLES, fit_isotonic
     from ..functions.charfix import fix_text
     from ..functions.geometry import xy_cut_order
-    from ..stages.ocr import ocr_page
+    from ..stages.ocr import ocr_page_cascade
 
     t = pq.read_table(media_path,
                       columns=["media_ref", "media_kind", "payload",
@@ -65,7 +68,7 @@ def fit_page_calibrator(media_path: str, sample_n: int = 512):
     confs, correct = [], []
     for payload, truth in zip(t["payload"].to_pylist(),
                               t["truth_lines"].to_pylist()):
-        text, conf, status = ocr_page(payload, dpi=300)
+        text, conf, status, _cascade = ocr_page_cascade(payload)
         if status != "ok" or not truth:
             continue
         import numpy as np

@@ -103,7 +103,9 @@ class DocLocalExtract:
                     else:
                         cal = float(np.interp(conf, self.calib[0],
                                               self.calib[1]))
-                    if casc != "digital" and cal < self.tau_llm:
+                    # tau_llm is raw-space (see OcrStage.__call__) —
+                    # gate on the raw conf, not the calibrated score
+                    if casc != "digital" and conf < self.tau_llm:
                         status = "low_conf"
                 o_doc.append(doc_id)
                 o_order.append(order)

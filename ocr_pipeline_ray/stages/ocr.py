@@ -82,9 +82,14 @@ CONF_FLOOR = 0.55
 # winning reader is individually confident).
 DISAGREE_PENALTY = 0.04
 
-# 300-DPI line-scan window: longer lines are clipped (recovered by the
-# 600-DPI retry). Far above the synthetic corpus line lengths; the
-# mechanism is exercised by unit tests.
+# 300-DPI line-scan window: longer lines are clipped. A clipped line is
+# LOST TEXT regardless of how confident the engines are about the
+# prefix, so the cascade force-re-decodes any truncated page at 600 DPI
+# (no truncation there) instead of trusting the confidence gate — a
+# confusable-free clipped line scores 0.98−0.05=0.93, above every
+# trigger, and would otherwise be silently accepted. Far above the
+# synthetic corpus line lengths; the mechanism is exercised by unit
+# tests.
 TRUNC_CHARS_300 = 120
 TRUNC_PENALTY = 0.05
 
@@ -168,37 +173,41 @@ def read_line(raw: str, dpi: int) -> tuple[str, float]:
     return best_text, max(CONF_FLOOR, conf - DISAGREE_PENALTY * dissent)
 
 
-def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str]:
+def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str, bool]:
     """One ensemble pass at ``dpi`` →
-    (canonical_text, page_conf, min_line_conf, status)."""
+    (canonical_text, page_conf, min_line_conf, status, truncated).
+    ``truncated``: at least one line exceeded the DPI's scan window and
+    was clipped (only possible below 600 DPI)."""
     kind = media_stub.classify_payload(payload)
     if kind == "blank":
-        return "", 0.0, 0.0, "blank"
+        return "", 0.0, 0.0, "blank", False
     if kind == "corrupt":
-        return "", 0.0, 0.0, "corrupt"
+        return "", 0.0, 0.0, "corrupt", False
     if kind == "digital":
         # digital-text fast path: extractable text, skip OCR entirely,
         # conf=1.0 (reference pdfminer path, pipeline.py:1938-1946)
-        return media_stub.decode_digital(payload), 1.0, 1.0, "ok"
+        return media_stub.decode_digital(payload), 1.0, 1.0, "ok", False
     lines = media_stub.decode_page(payload)
     if not lines:
-        return "", 0.0, 0.0, "blank"
+        return "", 0.0, 0.0, "blank", False
     xs = np.array([x for _, x, _ in lines])
     ys = np.array([y for _, _, y in lines])
     order = xy_cut_order(xs, ys)
+    truncated = dpi < 600 and any(
+        len(t) > TRUNC_CHARS_300 for t, _, _ in lines)
     merged, confs = [], []
     for i in order:
         text, conf = read_line(lines[i][0], dpi)
         merged.append(text)
         confs.append(conf)
     return (fix_text("\n".join(merged)),
-            geomean_confidence(np.array(confs)), min(confs), "ok")
+            geomean_confidence(np.array(confs)), min(confs), "ok", truncated)
 
 
 def ocr_page(payload: bytes, dpi: int = 300) -> tuple[str, float, str]:
     """Decode one page at ``dpi`` → (canonical_text, confidence, status).
     One ensemble pass, no cascade (the cascade wraps this)."""
-    text, conf, _min_conf, status = _decode(payload, dpi)
+    text, conf, _min_conf, status, _trunc = _decode(payload, dpi)
     return text, conf, status
 
 
@@ -206,21 +215,26 @@ def ocr_page_cascade(payload: bytes, tau_enhance: float = TAU_ENHANCE
                      ) -> tuple[str, float, str, str]:
     """R1 cascade with a genuine re-decode: 300-DPI ensemble first; when
     the page confidence falls below ``tau_enhance`` OR the worst line
-    falls below ``TAU_LINE_ENHANCE`` (the per-field trigger analog),
-    the page is re-decoded at 600 DPI and the better-scoring result
-    wins (reference pipeline.py:1989-2002 keeps the enhanced result
-    only when it improves). Returns (text, conf, status, cascade) with
-    cascade ∈ {accepted, enhanced, retry_kept, digital, none}."""
+    falls below ``TAU_LINE_ENHANCE`` (the per-field trigger analog) OR
+    any line was clipped by the 300-DPI scan window (truncation = lost
+    text no confidence score can vouch for), the page is re-decoded at
+    600 DPI. The better-scoring result wins (reference
+    pipeline.py:1989-2002 keeps the enhanced result only when it
+    improves) — except for truncated pages, where the untruncated
+    600-DPI read wins regardless of score (the 300-DPI confidence only
+    describes the clipped prefix). Returns (text, conf, status,
+    cascade) with cascade ∈ {accepted, enhanced, retry_kept, digital,
+    none}."""
     kind = media_stub.classify_payload(payload)
     if kind == "digital":
         return media_stub.decode_digital(payload), 1.0, "ok", "digital"
-    text, conf, min_conf, status = _decode(payload, 300)
+    text, conf, min_conf, status, trunc = _decode(payload, 300)
     if status != "ok":
         return text, conf, status, "none"
-    if conf >= tau_enhance and min_conf >= TAU_LINE_ENHANCE:
+    if conf >= tau_enhance and min_conf >= TAU_LINE_ENHANCE and not trunc:
         return text, conf, status, "accepted"
-    t600, c600, _m600, s600 = _decode(payload, 600)
-    if s600 == "ok" and c600 > conf:
+    t600, c600, _m600, s600, _t600 = _decode(payload, 600)
+    if s600 == "ok" and (c600 > conf or trunc):
         return t600, c600, "ok", "enhanced"
     return text, conf, "ok", "retry_kept"
 
@@ -319,7 +333,12 @@ class OcrStage:
                 continue
             text, conf, st2, casc = ocr_page_cascade(payload, self.tau_enhance)
             cal = self._calibrated(conf, casc)
-            if st2 == "ok" and casc != "digital" and cal < self.tau_llm:
+            # tau_llm is a RAW-confidence threshold (threshold_for_accuracy
+            # inverts the calibrator back into raw space), so the gate
+            # compares the raw conf — comparing the calibrated score
+            # against it would double-apply the calibration and mis-route
+            # pages whenever the map is non-identity.
+            if st2 == "ok" and casc != "digital" and conf < self.tau_llm:
                 st2 = "low_conf"  # last-resort branch, pipeline.py:2034-2065
             texts[i], confs[i], status[i] = text, conf, st2
             cascades[i], cals[i] = casc, cal
@@ -361,7 +380,8 @@ class MediaDecodeStage:
                 cal = conf
             else:
                 cal = float(np.interp(conf, self.calib[0], self.calib[1]))
-            if st == "ok" and casc != "digital" and cal < self.tau_llm:
+            # raw-vs-raw comparison — see OcrStage.__call__
+            if st == "ok" and casc != "digital" and conf < self.tau_llm:
                 st = "low_conf"
             texts.append(text)
             confs.append(conf)

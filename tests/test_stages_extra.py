@@ -98,3 +98,72 @@ class TestCalibration:
     def test_min_samples_enforced(self):
         with pytest.raises(ValueError):
             calibration.fit_isotonic(np.ones(5), np.ones(5))
+
+
+class TestCascadeGates:
+    """ADVICE r2: truncation must force the 600-DPI re-decode, and the
+    low_conf gate compares RAW conf against the RAW-space tau_llm."""
+
+    def _long_clean_line(self) -> str:
+        # no confusable-class words (every word has a non-confusable char)
+        words = ["the", "quick", "red", "fox", "jumped", "over", "the",
+                 "hay", "heap", "and", "ran", "far", "away", "then",
+                 "came", "back", "for", "more", "fun", "runs", "deep",
+                 "down", "the", "dark", "dirt", "path", "near", "here"]
+        return " ".join(words)  # 135 chars > TRUNC_CHARS_300
+
+    def test_truncated_line_forces_redecode(self):
+        from ocr_pipeline_ray.stages import media_stub
+        from ocr_pipeline_ray.stages.ocr import (TRUNC_CHARS_300, ocr_page,
+                                                 ocr_page_cascade)
+
+        line = self._long_clean_line()
+        assert len(line) > TRUNC_CHARS_300
+        payload = media_stub.encode_page([(line, 10, 10)], seed=7)
+
+        t300, c300, st = ocr_page(payload, dpi=300)
+        assert st == "ok" and t300 == line[:TRUNC_CHARS_300]
+        # clipped-but-confusable-free: every engine agrees on the prefix,
+        # so the page sails over both confidence triggers...
+        assert c300 >= 0.90
+        # ...yet the cascade must re-decode anyway: truncation is lost
+        # text that no confidence score can vouch for
+        text, conf, st, casc = ocr_page_cascade(payload)
+        assert casc == "enhanced"
+        assert text == line
+        assert conf > c300
+
+    def test_low_conf_gate_is_raw_space(self):
+        """tau_llm comes back from threshold_for_accuracy in RAW space;
+        a page whose raw conf clears it must stay 'ok' even when its
+        CALIBRATED score is numerically below the threshold."""
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages import media_stub
+        from ocr_pipeline_ray.stages.ocr import (MediaDecodeStage,
+                                                 ocr_page_cascade)
+
+        kx, ky = [0.55, 0.98], [0.30, 0.90]
+        stage = MediaDecodeStage(calib=(kx, ky))
+        tau_llm = stage.tau_llm
+        assert tau_llm is not None and 0.90 < tau_llm < 0.98
+
+        clean = media_stub.encode_page([("a clean line of plain text", 5, 5)],
+                                       seed=1)
+        noisy = media_stub.encode_page(
+            [("Meter l0l5 total 1O2S usage 9B7 kWh", 5, 5)], seed=2)
+        batch = pa.table({"media_ref": ["clean", "noisy"],
+                          "payload": [clean, noisy]})
+        out = stage(batch)
+        rows = {r["media_ref"]: r for r in out.to_pylist()}
+
+        for ref, payload in (("clean", clean), ("noisy", noisy)):
+            _t, raw_conf, _st, casc = ocr_page_cascade(payload,
+                                                       stage.tau_enhance)
+            expect = "low_conf" if raw_conf < tau_llm else "ok"
+            assert rows[ref]["m_status"] == expect, (ref, raw_conf, tau_llm)
+        # the clean page's CALIBRATED score sits below tau_llm — the old
+        # cal-vs-raw comparison would have mis-routed it to low_conf
+        assert rows["clean"]["m_status"] == "ok"
+        assert rows["clean"]["m_conf_calibrated"] < tau_llm
+        assert rows["noisy"]["m_status"] == "low_conf"

@@ -51,6 +51,74 @@ def _i64(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * SCALE + 0.5).astype(np.int64)
 
 
+def _mix_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Fibonacci multiplicative hash → bucket id. Int keys are often
+    strided/clustered (TPC-H orderkeys skip in runs), so a plain
+    ``key % k`` can land whole runs in one bucket; the golden-ratio
+    multiply decorrelates the low bits first."""
+    mixed = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+        >> np.uint64(32)
+    return (mixed % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _append_key_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    b = _mix_bucket(t[key].to_numpy(), num_buckets)
+    return t.append_column("kbucket", pa.array(b, type=pa.int64()))
+
+
+def bucketed_sum_topk(ds, *, key: str, carry: str, val: str, k: int,
+                      num_buckets: int = 16) -> pd.DataFrame:
+    """KEY-COMPLETE per-key sum + global top-k over a Dataset of
+    per-key PARTIALS (``(key, carry, val)`` rows, any fragmentation):
+    hash-bucket the key, ``groupby(kbucket).map_groups`` (each group
+    arrives whole, so per-key totals are exact regardless of how the
+    upstream join/map fragmented its blocks), top-k per bucket, then a
+    driver merge of num_buckets × k rows. The scale-safe replacement
+    for per-block top-k, which silently under-counts any key whose
+    rows span two blocks."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _append_key_bucket(t, key, num_buckets)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby([key, carry], as_index=False)[val].sum()
+        return s.sort_values([val, key], ascending=[False, True]).head(k)
+
+    tops = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("kbucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    if tops.empty:
+        return pd.DataFrame(columns=[key, carry, val])
+    return tops[[key, carry, val]]
+
+
+def bucketed_distinct_count(ds, *, key: str, by: str,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """KEY-COMPLETE ``count(DISTINCT key) GROUP BY by`` over a Dataset
+    whose rows may repeat a key across blocks (EXISTS-style semantics;
+    each key carries ONE ``by`` value). Per-batch dedup is a combiner
+    (idempotent shrink), the bucket groupby dedups exactly, and the
+    driver sums num_buckets × |by| partial counts."""
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: t[key].to_numpy(),
+                           by: t[by].to_pylist()}).drop_duplicates(key)
+        out = pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata()
+        return _append_key_bucket(out, key, num_buckets)
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(key)
+        c = d.groupby(by, as_index=False).agg(n=(key, "size"))
+        return c
+
+    parts = ds.map_batches(dedup_partial, batch_format="pyarrow") \
+        .groupby("kbucket").map_groups(bucket_count, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({by: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    return parts.groupby(by, as_index=False)["n"].sum()
+
+
 def _lineitem(sf_dir: str, columns: list[str], filter_expr=None):
     return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns,
                            filter=filter_expr)
@@ -134,10 +202,18 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
        even the filtered customer keys outgrow workers, swap for a
        ``left_semi`` Dataset.join);
     2. lineitem (pre-aggregated per batch) inner-join the surviving
-       orders on orderkey — the join hash-partitions by key, so each
-       output partition holds ALL rows of its orderkeys;
-    3. per-partition (batch_size=None ⇒ whole block) final sum +
-       local top-10 → driver merges num_partitions × 10 rows."""
+       orders on orderkey;
+    3. KEY-COMPLETE final sum + top-10: the joined partials are
+       re-keyed on an explicit hash bucket and reduced per bucket
+       (``groupby(kbucket).map_groups``) — groupby guarantees each
+       group arrives whole, so per-orderkey totals are complete by
+       construction. (The previous per-BLOCK reduction leaned on the
+       undocumented "one block per join partition" invariant of Ray
+       2.49's hash shuffle; if a fat partition ever splits into
+       multiple blocks, an orderkey's partials fragment and a
+       per-block top-k silently under-counts. See
+       tests/test_join_completeness.py.) Driver merges
+       num_buckets × 10 rows."""
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     building = cust.filter(
@@ -159,25 +235,8 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",), right_on=("o_orderkey",),
         aggregator_ray_remote_args={"num_cpus": 0.1})
 
-    def part_topk(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "l_orderkey": t["l_orderkey"].to_numpy(),
-            "rev_i": t["rev_i"].to_numpy(),
-            "o_orderdate": t["o_orderdate"].to_pandas(),
-        })
-        g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_i"].sum()
-        return pa.Table.from_pandas(
-            g.sort_values(["rev_i", "l_orderkey"],
-                          ascending=[False, True]).head(10),
-            preserve_index=False).replace_schema_metadata()
-
-    # batch_size=None: one batch per join partition → per-key totals are
-    # complete inside the task (hash-partitioning invariant of the join)
-    tops = [b for b in joined.map_batches(part_topk, batch_format="pyarrow",
-                                          batch_size=None)
-            .iter_batches(batch_format="pandas")]
-    per_order = pd.concat(tops, ignore_index=True) if tops else \
-        pd.DataFrame(columns=["l_orderkey", "o_orderdate", "rev_i"])
+    per_order = bucketed_sum_topk(
+        joined, key="l_orderkey", carry="o_orderdate", val="rev_i", k=10)
     per_order["revenue"] = per_order["rev_i"] / SCALE
     # timestamps leave as strings so value hashing is resolution-proof
     per_order["o_orderdate"] = pd.to_datetime(per_order["o_orderdate"]) \
@@ -314,10 +373,12 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
 
     orders is fact-sized, so the order dates travel through a
     hash-partitioned ``Dataset.join`` (never an all-orders driver
-    dict). The join co-locates every lineitem of an orderkey in one
-    output partition, so the EXISTS-dedup (distinct orderkey) is a
-    per-partition ``drop_duplicates`` (batch_size=None ⇒ whole block)
-    and the final rollup is 5 bounded keys → partial merge."""
+    dict). The EXISTS-dedup (count DISTINCT orderkey per priority) is
+    KEY-COMPLETE: late rows are deduped per batch (combiner), re-keyed
+    on an explicit orderkey hash bucket and deduped exactly inside
+    ``groupby(kbucket).map_groups`` — no reliance on the join emitting
+    one block per partition (see q3 note / tests/
+    test_join_completeness.py). Driver sums 16 × 5 partial counts."""
     li = _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -326,23 +387,17 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
                      on=("l_orderkey",), right_on=("o_orderkey",),
                      aggregator_ray_remote_args={"num_cpus": 0.1})
 
-    def late_partial(t: pa.Table) -> pa.Table:
+    def late_only(t: pa.Table) -> pa.Table:
         ship = t["l_shipdate"].to_numpy()
         odate = t["o_orderdate"].to_numpy()
         late = (ship - odate) > np.timedelta64(60 * 86400, "s")
-        df = pd.DataFrame({
-            "l_orderkey": t["l_orderkey"].to_numpy()[late],
-            "o_orderpriority": pd.Series(t["o_orderpriority"].to_pylist(),
-                                         dtype="object")[late].to_numpy(),
-        }).drop_duplicates("l_orderkey")  # block-complete per orderkey
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            n_orders=("l_orderkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata()
+        return t.filter(pa.array(late)) \
+            .select(["l_orderkey", "o_orderpriority"])
 
-    # cardinality: o_orderpriority = 5 groups — bounded
-    out = partial_merge(joined, late_partial, keys=["o_orderpriority"],
-                        agg_spec={"n_orders": ("n_orders", "sum")},
-                        batch_size=None)
+    out = bucketed_distinct_count(
+        joined.map_batches(late_only, batch_format="pyarrow"),
+        key="l_orderkey", by="o_orderpriority")
+    out = out.rename(columns={"n": "n_orders"})
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 

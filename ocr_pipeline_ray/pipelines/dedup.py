@@ -249,39 +249,58 @@ _SIMHASH_BAND_WIDTHS = (8, 7, 7, 7, 7, 7, 7, 7, 7)
 SIMHASH_MAX_HAMMING = 8
 
 
-def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+def simhash_near_dups(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     """SimHash near-dup: 64-bit signatures over the augmented corpus,
     pairs at Hamming distance ≤ 8 found via 9 prefix bands (widths
     8+7×8; pigeonhole ⇒ complete for d ≤ 8 — see band constants).
-    Rows-only check (no SQL oracle — bit-level hashing is not
-    SQL-expressible); completeness vs a brute-force oracle is asserted
-    in tests."""
+
+    Shuffle shape (the minhash pattern, dedup.py:120-137): band keys
+    are int64 folds ``(band << 8) | bits`` — never utf8 — coarsened to
+    ``band_key % num_buckets`` so the groupby sees ≤ num_buckets
+    bounded groups (one vectorized pandas pass per bucket) instead of
+    ~9n mostly-singleton string groups, and the per-batch band
+    explosion is a numpy broadcast, not a per-doc loop. Rows-only
+    check (no SQL oracle — bit-level hashing is not SQL-expressible);
+    completeness vs a brute-force oracle is asserted in tests."""
     ds = _augmented_docs(sf_dir)
 
+    offs = np.asarray(_SIMHASH_BAND_OFFSETS, dtype=np.uint64)
+    masks = (np.uint64(1) << np.asarray(_SIMHASH_BAND_WIDTHS,
+                                        dtype=np.uint64)) - np.uint64(1)
+    band_ids = np.arange(len(offs), dtype=np.uint64)
+
     def sig_rows(batch: pa.Table) -> pa.Table:
-        bands_out, docs_out, sigs_out = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            h = ts.simhash64(text.split(" "))
-            for b, (off, width) in enumerate(zip(_SIMHASH_BAND_OFFSETS,
-                                                 _SIMHASH_BAND_WIDTHS)):
-                bits = (h >> off) & ((1 << width) - 1)
-                bands_out.append(f"{b}:{bits:02x}")
-                docs_out.append(did)
-                sigs_out.append(h)
-        return pa.table({"band_key": pa.array(bands_out, type=pa.string()),
-                         "doc_id": pa.array(docs_out, type=pa.int64()),
-                         "sig": pa.array(sigs_out, type=pa.uint64())})
+        dids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        # the signature itself is per-doc token hashing (like minhash);
+        # everything after it is vectorized
+        sigs = np.fromiter((ts.simhash64(t.split(" ")) for t in texts),
+                           dtype=np.uint64, count=len(texts))
+        bits = (sigs[:, None] >> offs[None, :]) & masks[None, :]
+        keys = ((band_ids[None, :] << np.uint64(8)) | bits) \
+            .ravel().astype(np.int64)
+        n_bands = len(offs)
+        return pa.table({
+            "band_key": pa.array(keys, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(dids, n_bands), type=pa.int64()),
+            "sig": pa.array(np.repeat(sigs, n_bands), type=pa.uint64()),
+            "bucket": pa.array(keys % num_buckets, type=pa.int64()),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        sigs = rows["sig"].tolist()
+        # only band keys shared by >1 doc can produce candidates
+        g = g[g.duplicated("band_key", keep=False)]
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = ts.hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= SIMHASH_MAX_HAMMING:
-                    out.append({"doc_a": ids[i], "doc_b": ids[j], "hamming": d})
+        for _, sub in g.groupby("band_key", sort=False):
+            rows = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].tolist()
+            sigs = rows["sig"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = ts.hamming64(int(sigs[i]), int(sigs[j]))
+                    if d <= SIMHASH_MAX_HAMMING:
+                        out.append({"doc_a": ids[i], "doc_b": ids[j],
+                                    "hamming": d})
         if not out:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
@@ -289,7 +308,7 @@ def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(out)
 
     out = ds.map_batches(sig_rows, batch_format="pyarrow") \
-        .groupby("band_key").map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .to_pandas().drop_duplicates()
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1,13 +1,18 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
 - brute-force cosine top-k: the baseline — numpy matmul per batch
-  against a broadcast query vector/matrix (``ray.put`` once, read in
-  every task), per-batch top-k then a tiny global top-k. No shuffle.
-- embedding near-dup: all pairs above a cosine threshold via the same
-  broadcast-matrix pattern (each batch of rows × the full matrix);
-  the O(n²) work is sharded across batches. The scale path is an
-  IVF/LSH-bucketed variant (ivf_topk below) that probes only the
-  nearest coarse cells.
+  against a broadcast query vector (predicate-pushdown read of ONE
+  row, ``ray.put`` once, read in every task), per-batch top-k then a
+  tiny global top-k. No shuffle, nothing corpus-sized on the driver.
+- embedding near-dup: IVF-cell-bucketed candidate generation — every
+  vector is assigned to its ``n_assign`` nearest coarse cells
+  (broadcast centroid matrix, one matmul per batch) and pairs are
+  emitted ONLY inside each cell's ``map_groups`` task. No all-pairs
+  scan, no corpus-matrix broadcast; the partitioning assumption is
+  that near-dup pairs co-assign to at least one cell (guaranteed for
+  the ≥0.999-cosine regime: such pairs' centroid similarities are
+  near-identical, so multi-assign overlaps; asserted against the
+  exhaustive answer in tests).
 
 All cosine math is float64 on both sides (the DuckDB oracle casts to
 DOUBLE[]) so rounded values hash identically.
@@ -27,21 +32,21 @@ COPY_OFFSET = 10_000
 COSINE_DUP_THRESHOLD = 0.999
 
 
-def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    return ids, mat
+def _query_unit(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Unit-normalized query vector via a predicate-pushdown read of
+    exactly one row — never the whole embeddings table on the driver."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", vec_id)])
+    q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+    return q / np.linalg.norm(q)
 
 
 def knn_brute_force(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k by cosine similarity to the vec_id=0 embedding (query vector
     broadcast once; per-batch partial top-k; deterministic ordering by
     (rounded sim desc, vec_id asc))."""
-    ids, mat = _emb_matrix(sf_dir)
-    q = mat[ids == 0][0]
-    q = q / np.linalg.norm(q)
-    q_ref = ray.put(q)
+    q_ref = ray.put(_query_unit(sf_dir))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -99,41 +104,92 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
-def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+def embedding_near_dup_pairs(sf_dir: str, n_cells: int = 16,
+                             n_assign: int = 2,
+                             train_sample: int = 2048) -> pd.DataFrame:
     """Cosine near-dup pairs over the corpus augmented with exact copies
-    of the first N_COPY_VECS vectors (vec_id+COPY_OFFSET) — broadcast
-    full matrix, shard the pair scan across batches, keep (a < b,
-    cosine ≥ 0.999). Matches the oracle's exhaustive cross join."""
-    ids, mat = _emb_matrix(sf_dir)
-    copy_mask = ids < N_COPY_VECS
-    aug_ids = np.concatenate([ids, ids[copy_mask] + COPY_OFFSET])
-    aug_mat = np.vstack([mat, mat[copy_mask]])
-    norms = np.linalg.norm(aug_mat, axis=1)
-    unit = aug_mat / np.where(norms > 0, norms, 1.0)[:, None]
-    ref = ray.put((aug_ids, unit))
+    of the first N_COPY_VECS vectors (vec_id+COPY_OFFSET), via
+    IVF-CELL-BUCKETED candidate generation (the 100 TB shape — the
+    previous version broadcast the full unit matrix and scanned all n²
+    pairs):
 
-    ds = rd.from_arrow(pa.table({"vec_id": pa.array(aug_ids, type=pa.int64()),
-                                 "row": pa.array(range(len(aug_ids)),
-                                                 type=pa.int64())}))
+    1. TRAIN (driver, small): spherical k-means coarse quantizer on a
+       ``train_sample`` prefix (same step as ivf_topk);
+    2. ASSIGN (distributed): each batch normalizes its vectors, adds
+       the seeded copies, and emits one (cell, vec_id, unit-vector)
+       row per ``n_assign`` nearest cells — multi-assign makes a
+       ≥0.999-cosine pair share at least one cell (near-identical
+       vectors have near-identical centroid similarities; exact
+       copies share ALL cells);
+    3. ``groupby(cell)`` → pairwise cosine WITHIN each cell task only
+       (O(Σ|cell|²), never O(n²)); cross-cell duplicates of a pair
+       are dropped after the (tiny) pair set reaches the driver.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_unit = ray.get(ref)
-        rows = np.asarray(batch["row"].to_pylist(), dtype=np.int64)
-        sims = all_unit[rows] @ all_unit.T  # (batch, n)
-        out_a, out_b, out_s = [], [], []
-        for bi, r in enumerate(rows):
-            hits = np.where(sims[bi] >= COSINE_DUP_THRESHOLD)[0]
-            for h in hits:
-                if all_ids[r] < all_ids[h]:
-                    out_a.append(all_ids[r])
-                    out_b.append(all_ids[h])
-                    out_s.append(round(float(sims[bi, h]), 4))
-        return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
-                         "vec_b": pa.array(out_b, type=pa.int64()),
-                         "cosine_sim": pa.array(out_s, type=pa.float64())})
+    Matches the oracle's exhaustive cross join (equality vs the
+    brute-force answer asserted in tests/test_similarity.py). Scale
+    note: n_cells should grow ~√n so cells stay bounded; skewed cells
+    would need a split-and-mirror salt."""
+    sample_unit, _ids = _sample_unit(sf_dir, train_sample)
+    centroids = _train_coarse_quantizer(sample_unit, n_cells)
+    cent_ref = ray.put(centroids)
 
-    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=512).to_pandas()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        copy_mask = vid < N_COPY_VECS
+        vid = np.concatenate([vid, vid[copy_mask] + COPY_OFFSET])
+        m = np.vstack([m, m[copy_mask]])
+        norms = np.linalg.norm(m, axis=1)
+        unit = m / np.where(norms > 0, norms, 1.0)[:, None]
+        top = np.argsort(-(unit @ cents.T), axis=1)[:, :n_assign]
+        ids_out = np.repeat(vid, n_assign)
+        units_out = np.repeat(unit, n_assign, axis=0)
+        return pa.table({
+            "cell": pa.array(top.ravel().astype(np.int64), type=pa.int64()),
+            "vec_id": pa.array(ids_out, type=pa.int64()),
+            "unit": pa.array(list(units_out),
+                             type=pa.list_(pa.float64())),
+        })
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy()
+        unit = np.vstack(g["unit"].to_numpy())
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= COSINE_DUP_THRESHOLD
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({
+            "vec_a": pd.Series(lo, dtype="int64"),
+            "vec_b": pd.Series(hi, dtype="int64"),
+            "cosine_sim": np.round(sims[iu[hit], ju[hit]], 4),
+        })
+
+    out = ds.map_batches(assign_cells, batch_format="pyarrow",
+                         batch_size=4096) \
+        .groupby("cell").map_groups(cell_pairs, batch_format="pandas") \
+        .to_pandas()
+    out = out.drop_duplicates(["vec_a", "vec_b"])
+    out = out.astype({"vec_a": "int64", "vec_b": "int64"})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _sample_unit(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n`` embeddings, unit-normalized (quantizer training
+    sample — a bounded prefix read, not the full table)."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=n,
+                                 columns=["vec_id", "embedding"]))
+    sample = np.asarray(first["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    unit = sample / np.where(norms > 0, norms, 1.0)[:, None]
+    ids = np.asarray(first["vec_id"].to_pylist(), dtype=np.int64)
+    return unit, ids
 
 
 def _train_coarse_quantizer(sample_unit: np.ndarray, n_cells: int,
@@ -171,25 +227,13 @@ def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4,
 
     Results are approximate → rows-only driver check; recall vs brute
     force is asserted in tests."""
-    import pyarrow.parquet as _pq
-
-    pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=train_sample,
-                                 columns=["vec_id", "embedding"]))
-    sample = np.asarray(first["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(sample, axis=1)
-    sample_unit = sample / np.where(norms > 0, norms, 1.0)[:, None]
+    sample_unit, sample_ids = _sample_unit(sf_dir, train_sample)
     centroids = _train_coarse_quantizer(sample_unit, n_cells)
 
-    sample_ids = np.asarray(first["vec_id"].to_pylist(), dtype=np.int64)
     if 0 in sample_ids:
         q = sample_unit[sample_ids == 0][0]
     else:  # query vector outside the training sample: targeted read
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"],
-                          filters=[("vec_id", "=", 0)])
-        qv = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
-        q = qv / np.linalg.norm(qv)
+        q = _query_unit(sf_dir)
     probe_cells = np.argsort(-(centroids @ q))[:n_probe]
     ref = ray.put((q, centroids, np.asarray(sorted(probe_cells))))
 

@@ -77,12 +77,29 @@ def vote_merge_tokens(tokens: pd.DataFrame, n_engines: int) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def ensemble_merge(ds, n_engines: int):
+def ensemble_merge(ds, n_engines: int, num_buckets: int = 64):
     """Dataset of exploded engine tokens (doc_id, engine, text, conf,
-    x1..y2) → merged tokens per doc — groupby(doc_id) + in-group merge."""
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        merged = vote_merge_tokens(g, n_engines)
-        merged.insert(0, "doc_id", g["doc_id"].iloc[0])
-        return merged
+    x1..y2) → merged tokens per doc. Shuffle key is
+    ``crc32(doc_id) % num_buckets`` (int64, bounded groups — the same
+    pattern as reassembly/extract_fields) with a vectorized pandas
+    sub-groupby per bucket; a raw utf8 ``groupby(doc_id)`` pays Ray's
+    string sort-agg floor and emits one tiny frame per document."""
+    import zlib
 
-    return ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    import pyarrow as pa
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [zlib.crc32(d.encode()) % num_buckets
+             for d in t["doc_id"].to_pylist()]
+        return t.append_column("ebucket", pa.array(b, type=pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for did, sub in g.groupby("doc_id", sort=True):
+            merged = vote_merge_tokens(sub, n_engines)
+            merged.insert(0, "doc_id", did)
+            frames.append(merged)
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("ebucket").map_groups(per_bucket, batch_format="pandas")

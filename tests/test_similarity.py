@@ -34,3 +34,28 @@ def test_coarse_quantizer_deterministic():
     assert a.shape == (8, 16)
     # centroids stay unit-normalized
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_near_dup_bucketed_equals_bruteforce(ray_session):
+    """The IVF-cell-bucketed pair generator must find EXACTLY the pairs
+    an exhaustive all-pairs scan finds (recall 1.0, no phantoms)."""
+    import pyarrow.parquet as pq
+
+    got = similarity.embedding_near_dup_pairs(SF_DIR)
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    copy = ids < similarity.N_COPY_VECS
+    ids = np.concatenate([ids, ids[copy] + similarity.COPY_OFFSET])
+    mat = np.vstack([mat, mat[copy]])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = sims[iu, ju] >= similarity.COSINE_DUP_THRESHOLD
+    a, b = ids[iu[hit]], ids[ju[hit]]
+    expect = sorted(zip(np.minimum(a, b), np.maximum(a, b)))
+
+    assert sorted(zip(got["vec_a"], got["vec_b"])) == expect
+    assert len(expect) == similarity.N_COPY_VECS  # seeded copies found

@@ -137,8 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_mass": similarity.embedding_centroid_mass,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ivf_topk": similarity.ivf_topk,
-        # multimodal + model-adjacent operators (rows-only)
+        # multimodal + model-adjacent operators
         "media_feature_stats": modelops.media_feature_stats,
+        "preprocess_media": modelops.preprocess_media,
         "frame_samples": modelops.frame_samples,
         "ensemble_vote_merge": modelops.ensemble_vote_merge,
         "calibration_thresholds": modelops.calibration_thresholds,
@@ -523,8 +524,26 @@ def oracle_sql() -> dict[str, str]:
                                          b.embedding::DOUBLE[]) >= 0.999
             ORDER BY vec_a, vec_b
         """,
+        # media_feature_stats: size features are SQL-expressible — DuckDB
+        # reads the SAME derived media parquet the Ray query reads (the
+        # corpus path is deterministic per sf tier; GRAFT_ORACLE_SF_DIR
+        # selects the tier, defaulting to the driver gate's sf0.01).
+        "media_feature_stats": f"""
+            SELECT media_kind,
+                   count(*) AS n,
+                   sum(octet_length(payload))::BIGINT AS total_bytes
+            FROM read_parquet('{_span_corpus(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/media/*.parquet')
+            GROUP BY media_kind
+            ORDER BY media_kind
+        """,
         # extract_spans_corpus / extract_fields_corpus / simhash_near_dups /
-        # ivf_topk: not SQL-expressible (stateful decode / bit hashing /
-        # approximate search) → rows-only driver check; the span pipeline is
-        # gated instead by tests/test_extract_golden.py exact equality.
+        # ivf_topk / preprocess_media / frame_samples / ensemble_vote_merge /
+        # calibration_thresholds: not SQL-expressible (stateful binary
+        # decode / bit hashing / approximate search / PAV) → rows-only
+        # driver check; each is gated instead by an exact pytest oracle
+        # (tests/test_extract_golden.py golden equality, test_dedup.py
+        # brute-force simhash, test_similarity.py IVF recall,
+        # test_modelops.py vote-merge == read_line, test_stages_extra.py
+        # preprocessing recovery + calibration kernels).
     }

@@ -50,6 +50,44 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_kind").reset_index(drop=True)
 
 
+def preprocess_media(sf_dir: str) -> pd.DataFrame:
+    """P1-P5 preprocessing over the media corpus with a deterministic
+    mis-scan injected: every page whose crc32(media_ref) % 5 == 0 is
+    rotated 90° clockwise upstream (simulated scanner rotation), then
+    the PreprocessMedia actor stage deskews / dewarps / size-caps /
+    noise-scores every payload. Returns per-media preprocessing
+    lineage; recovery of the rotated pages' reading order is asserted
+    exactly in tests/test_stages_extra.py (rows-only driver entry —
+    the decision inputs are binary decodes)."""
+    import zlib
+
+    corpus = _corpus(sf_dir)
+    media = rd.read_parquet(f"{corpus}/media",
+                            columns=["media_ref", "media_kind", "payload"])
+
+    def misscan(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        kinds = t["media_kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out = []
+        for r, k, p in zip(refs, kinds, payloads):
+            if k == "page_png" and zlib.crc32(r.encode()) % 5 == 0:
+                out.append(multimodal.rotate_page_cw(p))
+            else:
+                out.append(p)
+        return pa.table({"media_ref": t["media_ref"],
+                         "media_kind": t["media_kind"],
+                         "payload": pa.array(out, type=pa.binary())})
+
+    pp = media.map_batches(misscan, batch_format="pyarrow") \
+        .map_batches(multimodal.PreprocessMedia, batch_size=128,
+                     concurrency=2, batch_format="pyarrow") \
+        .drop_columns(["payload"])
+    out = pp.to_pandas()
+    out["pp_noise_score"] = out["pp_noise_score"].round(6)
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def frame_samples(sf_dir: str) -> pd.DataFrame:
     """FrameSample explode (1 media row → k frame rows), sorted output."""
     corpus = _corpus(sf_dir)

@@ -6,14 +6,19 @@ side's own rounding). Rows-only entries are smoke-checked for shape.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-import __ray_entry__ as entrymod
-
 SF_DIR = "/root/testdata/sf0.001"
+# corpus-reading oracles (media_feature_stats) must point at the SAME
+# sf tier this harness queries (the driver gate uses its sf0.01 default)
+os.environ["GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import __ray_entry__ as entrymod  # noqa: E402
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -167,3 +167,95 @@ class TestCascadeGates:
         assert rows["clean"]["m_status"] == "ok"
         assert rows["clean"]["m_conf_calibrated"] < tau_llm
         assert rows["noisy"]["m_status"] == "low_conf"
+
+
+class TestPreprocessKernels:
+    """P1-P5 are REAL transforms on FPG1: degraded pages must be
+    recovered (text equality vs the clean decode), not just flagged."""
+
+    def _clean_page(self, seed=11):
+        from ocr_pipeline_ray.stages import media_stub
+        lines = [(f"row {i} col {c} text", c * 250, i * 30)
+                 for i in range(6) for c in (0, 1)]
+        return media_stub.encode_page(lines, seed)
+
+    def test_rotation_detected_and_recovered(self):
+        from ocr_pipeline_ray.stages import multimodal
+        from ocr_pipeline_ray.stages.ocr import ocr_page
+
+        clean = self._clean_page()
+        rotated = multimodal.rotate_page_cw(clean)
+        truth, _, _ = ocr_page(clean, dpi=300)
+        scrambled, _, _ = ocr_page(rotated, dpi=300)
+        assert scrambled != truth  # the mis-scan really breaks reading order
+
+        import pyarrow as pa
+        out = multimodal.PreprocessMedia()(
+            pa.table({"media_ref": ["r"], "payload": [rotated]}))
+        assert out["pp_rotated"][0].as_py() is True
+        fixed, _, _ = ocr_page(out["payload"][0].as_py(), dpi=300)
+        assert fixed == truth
+
+    def test_clean_page_not_flagged_rotated(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages import multimodal
+        out = multimodal.PreprocessMedia()(
+            pa.table({"media_ref": ["c"], "payload": [self._clean_page()]}))
+        assert out["pp_rotated"][0].as_py() is False
+
+    def test_dewarp_restores_row_order(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages import media_stub, multimodal
+        from ocr_pipeline_ray.stages.ocr import ocr_page
+
+        # two-column page; row 2's left cell jitters into band 3 while
+        # its right cell stays in band 2 → XY-cut reads R before L
+        lines = [("zeroL", 0, 2), ("zeroR", 250, 1),
+                 ("oneL", 0, 31), ("oneR", 250, 40),
+                 ("twoL", 0, 73), ("twoR", 250, 60)]
+        warped = media_stub.encode_page(lines, 5)
+        bad, _, _ = ocr_page(warped, dpi=300)
+        assert bad.splitlines()[4] == "twoR"  # mis-ordered without dewarp
+
+        out = multimodal.PreprocessMedia()(
+            pa.table({"media_ref": ["w"], "payload": [warped]}))
+        assert out["pp_dewarped"][0].as_py() is True
+        good, _, _ = ocr_page(out["payload"][0].as_py(), dpi=300)
+        assert good.splitlines() == ["zeroL", "zeroR", "oneL", "oneR",
+                                     "twoL", "twoR"]
+
+    def test_size_cap_rescales_order_preserving(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages import media_stub, multimodal
+        from ocr_pipeline_ray.stages.ocr import ocr_page
+
+        lines = [(f"giant row {i}", 0, i * 40_000) for i in range(4)]
+        big = media_stub.encode_page(lines, 3)
+        out = multimodal.PreprocessMedia()(
+            pa.table({"media_ref": ["g"], "payload": [big]}))
+        assert out["pp_rescaled"][0].as_py() is True
+        fixed = out["payload"][0].as_py()
+        ys = [y for _, _, y in media_stub.decode_page(fixed)]
+        assert max(ys) <= multimodal.MAX_COORD
+        assert ys == sorted(ys)  # order preserved
+        text, _, _ = ocr_page(fixed, dpi=300)
+        assert text.splitlines() == [f"giant row {i}" for i in range(4)]
+
+    def test_noise_score_feeds_routing(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages import media_stub, multimodal
+
+        clean = media_stub.encode_page([("plain readable text here", 0, 0),
+                                        ("more clean words", 0, 30),
+                                        ("and a third row", 0, 60)], 9)
+        noisy = media_stub.encode_page([("lOZS Sll OBB l|l", 0, 0),
+                                        ("ZSl lOB SSS OOO", 0, 30),
+                                        ("B|l zSo gOl bIz", 0, 60)], 9)
+        out = multimodal.PreprocessMedia()(
+            pa.table({"media_ref": ["c", "n"], "payload": [clean, noisy]}))
+        scores = out["pp_noise_score"].to_pylist()
+        assert scores[0] < 0.1 < 0.5 < scores[1]

@@ -149,6 +149,9 @@ def run_bench() -> dict:
         spans = _build_extract(docs, ref, media_ds, calib, BENCH_MODE)
         n_spans = spans.count()
         dt = time.perf_counter() - t0
+        if os.environ.get("GRAFT_BENCH_STATS"):
+            # per-stage wall/CPU breakdown to stderr (JSON line stays clean)
+            print(spans.stats(), file=sys.stderr)
         timings["extract_spans"] = round(dt, 3)
         extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
         extras["extract_spans_per_sec"] = round(n_spans / dt, 2)
@@ -219,10 +222,12 @@ def run_scaling() -> dict:
 
     base = max(100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
     # per-mode corpus multipliers — the sizes behind the numbers
-    # published in BASELINE.md. The full matrix takes ~20 min; the
-    # shuffle modes stay floor-dominated at sandbox sizes (analysis in
-    # BASELINE.md "Measured (round 2)").
-    mode_docs = {"never": 20 * base, "skew": 30 * base, "join": 5 * base}
+    # published in BASELINE.md (r3: the join mode measured ≥0.8 at
+    # 40× = 200k docs; skew measured at 120× = 600k — results and
+    # per-stage analysis in BASELINE.md "Measured (round 3)"). The
+    # full matrix at these sizes takes ~45 min on a quiet host;
+    # GRAFT_BENCH_DOCS overrides for spot runs.
+    mode_docs = {"never": 20 * base, "skew": 120 * base, "join": 40 * base}
 
     # warm-up, untimed: generate the corpora (Ray-parallel) and pull
     # bytes into the OS page cache so the timed runs measure compute +

@@ -198,12 +198,15 @@ def extract_spans_hybrid(docs_ds, *, media_lookup_ref=None,
     # Both branches execute CONCURRENTLY under the streaming executor
     # (union), so their fixed-size pools must co-fit in the node's
     # CPUs. The tail branch carries FEW documents but a large span
-    # share (that is what makes them skewed), so the budget splits
-    # half/half. An autoscaling (1, k) tail pool can stall at min=1
+    # share (that is what makes them skewed); per-operator metrics at
+    # 600k docs measured the doc-local branch at ~60% of total CPU-s
+    # (1857 vs 1347, r3 BASELINE.md), so the budget splits 60/40 —
+    # a half/half split idled the tail pool for the last quarter of
+    # every run. An autoscaling (1, k) tail pool can stall at min=1
     # actor and serialize the whole tail (measured).
     if skew_tail != "never" and isinstance(ocr_concurrency, int):
-        small_conc: Any = max(2, ocr_concurrency // 2)
-        tail_conc: Any = max(2, ocr_concurrency // 2 - 1)
+        small_conc: Any = max(2, int(round(ocr_concurrency * 0.6)))
+        tail_conc: Any = max(2, ocr_concurrency - int(small_conc) - 1)
     else:
         small_conc, tail_conc = ocr_concurrency, (1, 4)
 

@@ -32,6 +32,19 @@ COPY_OFFSET = 10_000
 COSINE_DUP_THRESHOLD = 0.999
 
 
+def _emb_np(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix via Arrow flatten —
+    no per-row Python objects (``to_pylist`` built n × dim PyFloats in
+    every hot kernel). float32→float64 widening is exact, so results
+    are bit-identical to the old path."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def _query_unit(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """Unit-normalized query vector via a predicate-pushdown read of
     exactly one row — never the whole embeddings table on the driver."""
@@ -53,8 +66,8 @@ def knn_brute_force(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     def topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vid = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _emb_np(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         sims = (m @ qv) / np.where(norms > 0, norms, 1.0)
         mask = vid != 0
@@ -82,7 +95,7 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
         # summation and DuckDB's sequential list_sum agree to within an
         # ulp, and the quantized integers (then an exact int sum) are
         # order-independent across engines
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _emb_np(batch["embedding"])
         vs_i = np.floor(m.sum(axis=1) * 1e6 + 0.5).astype(np.int64)
         return pa.table({"label": batch["label"],
                          "vs_i": pa.array(vs_i, type=pa.int64())})
@@ -138,8 +151,8 @@ def embedding_near_dup_pairs(sf_dir: str, n_cells: int = 16,
 
     def assign_cells(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vid = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _emb_np(batch["embedding"])
         copy_mask = vid < N_COPY_VECS
         vid = np.concatenate([vid, vid[copy_mask] + COPY_OFFSET])
         m = np.vstack([m, m[copy_mask]])
@@ -242,8 +255,8 @@ def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4,
 
     def probe_topk(batch: pa.Table) -> pa.Table:
         qv, cents, cells = ray.get(ref)
-        vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vid = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _emb_np(batch["embedding"])
         n = np.linalg.norm(m, axis=1)
         unit = m / np.where(n > 0, n, 1.0)[:, None]
         assign = np.argmax(unit @ cents.T, axis=1)

@@ -27,7 +27,13 @@ def _events(sf_dir: str, columns: list[str]):
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type: count + sum(value).
-    Pre-aggregated per batch; the shuffle moves (type, hour) partials."""
+    Pre-aggregated per batch; the shuffle moves (type, hour) partials.
+
+    Cardinality guard: the driver merge holds one row per (type, hour)
+    — bounded for dashboard-scale spans (a year × 10 types ≈ 90k rows)
+    but GROWING with the time span; pointed at decades of data, swap
+    the driver merge for a bucketed ``groupby(crc32(hour) % k)``
+    reduce (the relational.bucketed_* pattern)."""
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

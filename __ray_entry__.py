@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "errors_with_last_signup": windows.errors_with_last_signup,
         # text analysis
         "doc_token_stats": text.doc_token_stats,
+        "bpe_token_stats": text.bpe_token_stats,
         "token_frequency_top20": text.token_frequency_top20,
         "quality_by_lang": text.quality_by_lang,
         "lang_id_confusion": text.lang_id_confusion,
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal + model-adjacent operators
         "media_feature_stats": modelops.media_feature_stats,
         "preprocess_media": modelops.preprocess_media,
+        "degradation_bank": modelops.degradation_bank,
         "frame_samples": modelops.frame_samples,
         "ensemble_vote_merge": modelops.ensemble_vote_merge,
         "calibration_thresholds": modelops.calibration_thresholds,
@@ -392,6 +394,21 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents
+            ORDER BY doc_id
+        """,
+        "bpe_token_stats": """
+            WITH m AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_bpe_tokens,
+                   length(array_to_string(toks, ''))::BIGINT AS n_token_chars,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE length(array_to_string(toks, ''))::BIGINT
+                             / len(toks)::BIGINT
+                   END AS avg_token_len
+            FROM m
             ORDER BY doc_id
         """,
         "token_frequency_top20": """

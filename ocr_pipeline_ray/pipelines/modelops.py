@@ -88,6 +88,71 @@ def preprocess_media(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
+def degradation_bank(sf_dir: str, severity: str = "medium",
+                     sample_n: int = 384) -> pd.DataFrame:
+    """P11: run the full 15-op degradation bank (sources/degrade.py —
+    reference synthetic_degradation.py's 15 severity-scaled ops) over a
+    page sample: degrade → P1-P5 preprocess → ensemble cascade decode →
+    char accuracy vs construction truth. One row per op (+ the clean
+    baseline): the measured robustness profile of the whole read path.
+    Geometry-domain damage (rotation, jitter, scan order, coordinate
+    blowup) must be repaired by the preprocessors — their accuracy
+    matches the clean baseline; text-domain damage degrades it
+    (asserted in tests/test_stages_extra.py). Rows-only entry (binary
+    decode is not SQL-expressible)."""
+    from ..functions.accuracy import char_accuracy
+    from ..sources.degrade import DEGRADATION_OPS, DegradePage
+
+    corpus = _corpus(sf_dir)
+    # bounded sample, materialized ONCE so 16 op pipelines don't re-read
+    base = rd.read_parquet(
+        f"{corpus}/media",
+        columns=["media_ref", "media_kind", "payload", "truth_lines"]) \
+        .filter(expr="media_kind == 'page_png'") \
+        .limit(sample_n).materialize()
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.charfix import fix_text
+        from ..functions.geometry import xy_cut_order
+        from ..stages.ocr import ocr_page_cascade
+
+        accs, confs = [], []
+        for payload, truth in zip(batch["payload"].to_pylist(),
+                                  batch["truth_lines"].to_pylist()):
+            text, conf, st, _casc = ocr_page_cascade(payload)
+            if not truth:
+                continue
+            xs = np.array([r["x"] for r in truth])
+            ys = np.array([r["y"] for r in truth])
+            order = xy_cut_order(xs, ys)
+            truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
+            accs.append(char_accuracy(truth_text, text))
+            confs.append(conf)
+        return pa.table({"acc": pa.array(accs, type=pa.float64()),
+                         "conf": pa.array(confs, type=pa.float64())})
+
+    rows = []
+    for op in ["none"] + sorted(DEGRADATION_OPS):
+        ds = base
+        if op != "none":
+            ds = ds.map_batches(
+                DegradePage, batch_size=128, concurrency=2,
+                batch_format="pyarrow",
+                fn_constructor_kwargs={"op": op, "severity": severity})
+        ds = ds.map_batches(multimodal.PreprocessMedia, batch_size=128,
+                            concurrency=2, batch_format="pyarrow")
+        scored = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        rows.append({
+            "op": op,
+            "n_pages": int(len(scored)),
+            "mean_char_acc": round(float(scored["acc"].mean()), 6),
+            "mean_conf": round(float(scored["conf"].mean()), 6),
+        })
+    return pd.DataFrame(rows).sort_values("op").reset_index(drop=True)
+
+
 def frame_samples(sf_dir: str) -> pd.DataFrame:
     """FrameSample explode (1 media row → k frame rows), sorted output."""
     corpus = _corpus(sf_dir)

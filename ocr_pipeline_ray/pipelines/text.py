@@ -44,6 +44,41 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2 subset so the DuckDB
+# oracle can run the IDENTICAL pattern with regexp_extract_all: letter
+# runs, digit runs, single non-space punctuation. Compiled once at
+# module import (per worker process), not per batch.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_BPE_PRETOKEN = __import__("re").compile(BPE_PRETOKEN_PATTERN)
+
+
+def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per doc: BPE-ish pre-token count (the whitespace split in
+    ``doc_token_stats`` undercounts subword-tokenizer load; this is the
+    standard letters/digits/punct pre-tokenization every BPE vocab
+    starts from), plus matched-char total and mean pre-token length
+    (int/int division — bit-identical to the SQL oracle)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts, chars = [], []
+        for t in texts:
+            ms = _BPE_PRETOKEN.findall(t)
+            counts.append(len(ms))
+            chars.append(sum(len(m) for m in ms))
+        avg = [c / n if n else 0.0 for c, n in zip(chars, counts)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            "n_token_chars": pa.array(chars, type=pa.int64()),
+            "avg_token_len": pa.array(avg, type=pa.float64()),
+        })
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def token_frequency_top20(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
     """Global top-20 tokens over an UNBOUNDED key domain — the shuffle
     top-k shape, not ``partial_merge`` (which is for bounded-cardinality

@@ -259,3 +259,44 @@ class TestPreprocessKernels:
             pa.table({"media_ref": ["c", "n"], "payload": [clean, noisy]}))
         scores = out["pp_noise_score"].to_pylist()
         assert scores[0] < 0.1 < 0.5 < scores[1]
+
+
+class TestDegradationBank:
+    """P11: 15-op bank; geometry damage must be REPAIRED by P1-P5,
+    text damage must degrade accuracy (and never crash the cascade)."""
+
+    def test_every_op_changes_a_page(self):
+        from ocr_pipeline_ray.sources.degrade import (DEGRADATION_OPS,
+                                                      degrade_page)
+        from ocr_pipeline_ray.stages import media_stub
+
+        lines = [(f"Meter 1025 row {i} text here", (i % 2) * 250, 30 * i)
+                 for i in range(8)]
+        payload = media_stub.encode_page(lines, seed=21)
+        assert len(DEGRADATION_OPS) == 15
+        for op in DEGRADATION_OPS:
+            out = degrade_page(payload, op, "high")
+            assert media_stub.classify_payload(out) == "page"
+            assert out != payload, f"{op} was a no-op"
+            # determinism
+            assert out == degrade_page(payload, op, "high")
+
+    def test_bank_profile_geometry_recovered(self, ray_session):
+        from ocr_pipeline_ray.pipelines.modelops import degradation_bank
+        from ocr_pipeline_ray.sources.degrade import (DEGRADATION_OPS,
+                                                      GEOMETRY_OPS)
+
+        df = degradation_bank("/root/testdata/sf0.001", sample_n=96)
+        assert set(df["op"]) == set(DEGRADATION_OPS) | {"none"}
+        acc = dict(zip(df["op"], df["mean_char_acc"]))
+        base = acc["none"]
+        for op in GEOMETRY_OPS:
+            # preprocessors restore the exact clean-page reading
+            assert acc[op] == base, (op, acc[op], base)
+        for op in set(DEGRADATION_OPS) - set(GEOMETRY_OPS):
+            # small tolerance: extra confusables can TRIP the 600-DPI
+            # retry on a marginal page and read it better than the
+            # accepted 300-DPI baseline pass
+            assert acc[op] <= base + 1e-3, (op, acc[op], base)
+        # unrepaired text damage really hurts (brightness flips case)
+        assert acc["brightness"] < base - 0.1

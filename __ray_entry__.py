@@ -31,7 +31,15 @@ def _span_corpus(sf_dir: str) -> str:
     out = os.path.join(_CORPUS_CACHE, f"v3-n{n_docs}-seed42")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(out, n_docs=n_docs, seed=42, skew_upper=200, num_files=4)
+        import ray
+        if ray.is_initialized() and n_docs >= 2000:
+            from ocr_pipeline_ray.sources.synth import write_corpus_parallel
+            write_corpus_parallel(out, n_docs=n_docs, seed=42,
+                                  skew_upper=200,
+                                  num_files=max(4, n_docs // 300))
+        else:
+            write_corpus(out, n_docs=n_docs, seed=42, skew_upper=200,
+                         num_files=4)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -300,3 +300,37 @@ class TestDegradationBank:
             assert acc[op] <= base + 1e-3, (op, acc[op], base)
         # unrepaired text damage really hurts (brightness flips case)
         assert acc["brightness"] < base - 0.1
+
+
+class TestSessionizerReorder:
+    """The distributed feeders deliver out of order; the bucket actor's
+    sequence reorder buffer must make arrival order irrelevant."""
+
+    def _slices(self):
+        import pandas as pd
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda rows: pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id"])
+        s0 = mk([(1, base, 1), (2, base + pd.Timedelta(minutes=5), 2)])
+        s1 = mk([(1, base + pd.Timedelta(minutes=10), 3)])
+        s2 = mk([(1, base + pd.Timedelta(hours=2), 4),
+                 (2, base + pd.Timedelta(hours=3), 5)])
+        return [s0, s1, s2]
+
+    def _run(self, order):
+        import ray
+
+        from ocr_pipeline_ray.stages.streaming import SessionBucket
+        a = SessionBucket.remote(30 * 60)
+        slices = self._slices()
+        for seq in order:
+            ray.get(a.feed.remote(seq, slices[seq]))
+        out = ray.get(a.drain.remote())
+        ray.kill(a)
+        return sorted(out, key=lambda r: (r["user_id"], r["session_start"]))
+
+    def test_out_of_order_equals_in_order(self, ray_session):
+        expect = self._run([0, 1, 2])
+        assert len(expect) == 4  # 2 sessions per user (the 2h gap splits)
+        for order in ([2, 0, 1], [1, 2, 0], [2, 1, 0]):
+            assert self._run(order) == expect

@@ -101,15 +101,35 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
     (asserted in tests/test_stages_extra.py). Rows-only entry (binary
     decode is not SQL-expressible)."""
     from ..functions.accuracy import char_accuracy
-    from ..sources.degrade import DEGRADATION_OPS, DegradePage
+    from ..sources.degrade import DEGRADATION_OPS, degrade_page
 
     corpus = _corpus(sf_dir)
-    # bounded sample, materialized ONCE so 16 op pipelines don't re-read
+    ops = ["none"] + sorted(DEGRADATION_OPS)
     base = rd.read_parquet(
         f"{corpus}/media",
         columns=["media_ref", "media_kind", "payload", "truth_lines"]) \
         .filter(expr="media_kind == 'page_png'") \
-        .limit(sample_n).materialize()
+        .limit(sample_n)
+
+    # the op is DATA, not control flow: each page explodes into one row
+    # per bank op, so the whole 16-op profile is ONE streamed execution
+    # (16 sequential Dataset runs measured 6× slower — each paid the
+    # executor's fixed floor)
+    def explode_ops(batch: pa.Table) -> pa.Table:
+        out_op, out_payload, out_truth = [], [], []
+        for payload, truth in zip(batch["payload"].to_pylist(),
+                                  batch["truth_lines"].to_pylist()):
+            for op in ops:
+                out_op.append(op)
+                out_payload.append(
+                    payload if op == "none"
+                    else degrade_page(payload, op, severity))
+                out_truth.append(truth)
+        return pa.table({
+            "op": pa.array(out_op, type=pa.string()),
+            "payload": pa.array(out_payload, type=pa.binary()),
+            "truth_lines": pa.array(out_truth),
+        })
 
     def score(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -118,39 +138,40 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
         from ..functions.geometry import xy_cut_order
         from ..stages.ocr import ocr_page_cascade
 
-        accs, confs = [], []
-        for payload, truth in zip(batch["payload"].to_pylist(),
-                                  batch["truth_lines"].to_pylist()):
-            text, conf, st, _casc = ocr_page_cascade(payload)
+        out_op, accs, confs = [], [], []
+        for op, payload, truth in zip(batch["op"].to_pylist(),
+                                      batch["payload"].to_pylist(),
+                                      batch["truth_lines"].to_pylist()):
+            text, conf, _st, _casc = ocr_page_cascade(payload)
             if not truth:
                 continue
             xs = np.array([r["x"] for r in truth])
             ys = np.array([r["y"] for r in truth])
             order = xy_cut_order(xs, ys)
             truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
+            out_op.append(op)
             accs.append(char_accuracy(truth_text, text))
             confs.append(conf)
-        return pa.table({"acc": pa.array(accs, type=pa.float64()),
+        return pa.table({"op": pa.array(out_op, type=pa.string()),
+                         "acc": pa.array(accs, type=pa.float64()),
                          "conf": pa.array(confs, type=pa.float64())})
 
-    rows = []
-    for op in ["none"] + sorted(DEGRADATION_OPS):
-        ds = base
-        if op != "none":
-            ds = ds.map_batches(
-                DegradePage, batch_size=128, concurrency=2,
-                batch_format="pyarrow",
-                fn_constructor_kwargs={"op": op, "severity": severity})
-        ds = ds.map_batches(multimodal.PreprocessMedia, batch_size=128,
-                            concurrency=2, batch_format="pyarrow")
-        scored = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-        rows.append({
-            "op": op,
-            "n_pages": int(len(scored)),
-            "mean_char_acc": round(float(scored["acc"].mean()), 6),
-            "mean_conf": round(float(scored["conf"].mean()), 6),
-        })
-    return pd.DataFrame(rows).sort_values("op").reset_index(drop=True)
+    # fixed pool of 2: the surrounding explode/score TASK stages must
+    # still fit in a small session's CPU budget (a pool sized to the
+    # whole node starves them — the executor deadlocks, measured)
+    scored = base \
+        .map_batches(explode_ops, batch_size=32, batch_format="pyarrow") \
+        .map_batches(multimodal.PreprocessMedia, batch_size=128,
+                     concurrency=2, batch_format="pyarrow") \
+        .map_batches(score, batch_format="pyarrow").to_pandas()
+    # driver merge bounded by |ops| × sample_n scored rows (tiny)
+    out = scored.groupby("op", as_index=False).agg(
+        n_pages=("acc", "size"), mean_char_acc=("acc", "mean"),
+        mean_conf=("conf", "mean"))
+    out["mean_char_acc"] = out["mean_char_acc"].round(6)
+    out["mean_conf"] = out["mean_conf"].round(6)
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("op").reset_index(drop=True)
 
 
 def frame_samples(sf_dir: str) -> pd.DataFrame:

@@ -19,6 +19,8 @@ corruption ops.
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -129,7 +131,7 @@ def rotate_page_cw(payload: bytes) -> bytes:
     """Rotate an FPG1 page 90° clockwise — (x, y) → (H − y, x) — used to
     synthesize mis-scanned pages (and as the P2 test fixture)."""
     lines = media_stub.decode_page(payload)
-    (seed,) = __import__("struct").unpack("<Q", payload[4:12])
+    (seed,) = struct.unpack("<Q", payload[4:12])
     h = max((y for _, _, y in lines), default=0)
     return media_stub.encode_page([(t, h - y, x) for t, x, y in lines], seed)
 
@@ -197,7 +199,7 @@ def _rescale_coords(lines: list[tuple[str, int, int]]
     return [(t, int(x * scale), int(y * scale)) for t, x, y in lines], True
 
 
-_CONFUSABLE_RUN = __import__("re").compile(r"\b[0-9lIoOzZsSgGbB|]{2,}\b")
+_CONFUSABLE_RUN = re.compile(r"\b[0-9lIoOzZsSgGbB|]{2,}\b")
 
 
 def _noise_score(lines: list[tuple[str, int, int]]) -> float:
@@ -238,7 +240,7 @@ class PreprocessMedia:
                 noise.append(0.0)
                 continue
             lines = media_stub.decode_page(payload)
-            (seed,) = __import__("struct").unpack("<Q", payload[4:12])
+            (seed,) = struct.unpack("<Q", payload[4:12])
             was_rot = _detect_rotation(lines)
             if was_rot:
                 lines = _unrotate(lines)

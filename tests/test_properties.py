@@ -88,3 +88,34 @@ def test_hamming_metric(a, b):
     assert 0 <= d <= 64
     assert d == ts.hamming64(b, a)
     assert ts.hamming64(a, a) == 0
+
+
+# P4 dewarp invariant: for any page whose true baselines sit on a
+# ≥24 px grid with per-line jitter below the cluster gap, dewarping
+# restores the construction reading order exactly (row-major), no
+# matter where the jitter lands relative to XY-cut band boundaries.
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=8),            # rows
+    st.integers(min_value=1, max_value=2),            # columns
+    st.integers(min_value=24, max_value=60),          # true grid
+    st.data(),
+)
+def test_dewarp_restores_grid_reading_order(n_rows, n_cols, grid, data):
+    from ocr_pipeline_ray.functions.geometry import xy_cut_order
+    from ocr_pipeline_ray.stages.multimodal import _dewarp_lines
+
+    jitter_max = min(14, grid - 16)  # stay below the cluster-gap bound
+    lines = []
+    expect = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            j = data.draw(st.integers(min_value=0, max_value=jitter_max))
+            text = f"r{r}c{c}"
+            lines.append((text, c * 250, r * grid + j))
+            expect.append(text)
+    snapped, _changed = _dewarp_lines(lines)
+    xs = np.array([x for _, x, _ in snapped])
+    ys = np.array([y for _, _, y in snapped])
+    order = xy_cut_order(xs, ys)
+    assert [snapped[i][0] for i in order] == expect

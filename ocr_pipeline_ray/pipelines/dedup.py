@@ -225,7 +225,10 @@ def jaccard_consecutive(sf_dir: str) -> pd.DataFrame:
     nxt = rd.read_parquet(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"]) \
         .map_batches(shift_key, batch_format="pyarrow")
-    joined = docs.join(nxt, join_type="inner", num_partitions=8,
+    from .relational import _join_partitions
+    joined = docs.join(nxt, join_type="inner",
+                       num_partitions=_join_partitions(sf_dir, "documents",
+                                                       "documents"),
                        on=("doc_id",), right_on=("prev_id",),
                        aggregator_ray_remote_args={"num_cpus": 0.1})
 

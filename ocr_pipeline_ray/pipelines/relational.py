@@ -124,6 +124,22 @@ def _lineitem(sf_dir: str, columns: list[str], filter_expr=None):
                            filter=filter_expr)
 
 
+def _join_partitions(sf_dir: str, *tables: str,
+                     target_bytes: int = 128 << 20,
+                     lo: int = 8, hi: int = 512) -> int:
+    """Hash-join partition count scaled to the joined tables' on-disk
+    size (~one partition per 128 MB of compressed input). A FIXED
+    count is wrong in both directions at scale: 8 partitions against a
+    100 TB fact join serializes into 8 aggregators; hundreds of
+    partitions at sf0.01 pay Ray's ~200 ms/block aggregator constant
+    dozens of times over (measured: 64 aggregators 2× slower than 32
+    on sandbox inputs)."""
+    import os
+
+    total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet") for t in tables)
+    return max(lo, min(hi, total // target_bytes + 1))
+
+
 # --- q1: pricing summary (grouped agg with partial pre-aggregation) ---
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -231,7 +247,8 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         .map_batches(semi_building, batch_format="pyarrow")
 
     joined = _li_rev_partial(sf_dir).join(
-        orders_b, join_type="inner", num_partitions=8,
+        orders_b, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
         on=("l_orderkey",), right_on=("o_orderkey",),
         aggregator_ray_remote_args={"num_cpus": 0.1})
 
@@ -277,7 +294,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         .map_batches(attach_nation, batch_format="pyarrow")
 
     joined = _li_rev_partial(sf_dir).join(
-        orders_nat, join_type="inner", num_partitions=8,
+        orders_nat, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
         on=("l_orderkey",), right_on=("o_orderkey",),
         aggregator_ray_remote_args={"num_cpus": 0.1})
 
@@ -383,7 +401,9 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=_join_partitions(sf_dir, "lineitem",
+                                                     "orders"),
                      on=("l_orderkey",), right_on=("o_orderkey",),
                      aggregator_ray_remote_args={"num_cpus": 0.1})
 
@@ -417,7 +437,9 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     order_keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
                                  columns=["o_custkey"]) \
         .map_batches(batch_distinct, batch_format="pyarrow")
-    anti = cust.join(order_keys, join_type="left_anti", num_partitions=8,
+    anti = cust.join(order_keys, join_type="left_anti",
+                     num_partitions=_join_partitions(sf_dir, "customer",
+                                                     "orders"),
                      on=("c_custkey",), right_on=("o_custkey",),
                      aggregator_ray_remote_args={"num_cpus": 0.1})
 
@@ -469,7 +491,9 @@ def orders_join_customer_stats(sf_dir: str) -> pd.DataFrame:
         .select_columns(["o_custkey", "price_i"])
     customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(customer, join_type="inner", num_partitions=8,
+    joined = orders.join(customer, join_type="inner",
+                         num_partitions=_join_partitions(sf_dir, "orders",
+                                                         "customer"),
                          on=("o_custkey",), right_on=("c_custkey",),
                          aggregator_ray_remote_args={"num_cpus": 0.1})
 

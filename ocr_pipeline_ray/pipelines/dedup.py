@@ -69,7 +69,20 @@ def _augmented_docs(sf_dir: str):
 def exact_dedup_augmented(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over a corpus with *identical* injected copies
     (doc_id+DUP_OFFSET, same text): survivors = min doc_id per content
-    hash. Returns (doc_id, fingerprint) of survivors."""
+    hash. Returns (doc_id, fingerprint) of survivors.
+
+    This is the DESIGNATED exact-dedup operator for the 100 TB story,
+    so its shuffle is the engine-standard shape: ``crc32(fingerprint)
+    % num_buckets`` (bounded int64 key) + ONE vectorized
+    ``groupby(fingerprint).min`` pass per bucket — never a raw utf8
+    ``groupby`` whose mostly-singleton string groups pay Ray's
+    per-group overhead plus a utf8 sort (the simhash fix,
+    dedup.py:120-137, applied to its own family)."""
+    import zlib
+
+    from .relational import reduce_buckets
+
+    num_buckets = reduce_buckets(sf_dir, "documents")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def augment_exact(batch: pa.Table) -> pa.Table:
@@ -77,18 +90,22 @@ def exact_dedup_augmented(sf_dir: str) -> pd.DataFrame:
         texts = batch["text"].to_pylist()
         extra = [(i + DUP_OFFSET, t) for i, t in zip(ids, texts) if i < N_DUP_DOCS]
         all_ids = ids + [e[0] for e in extra]
-        all_texts = texts + [e[1] for e in extra]
+        fps = [ts.fingerprint_md5(t) for t in
+               texts + [e[1] for e in extra]]
         return pa.table({
             "doc_id": pa.array(all_ids, type=pa.int64()),
-            "fingerprint": pa.array([ts.fingerprint_md5(t) for t in all_texts],
-                                    type=pa.string()),
+            "fingerprint": pa.array(fps, type=pa.string()),
+            "bucket": pa.array(
+                [zlib.crc32(f.encode()) % num_buckets for f in fps],
+                type=pa.int64()),
         })
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fingerprint", as_index=False) \
+            .agg(doc_id=("doc_id", "min"))
 
     out = ds.map_batches(augment_exact, batch_format="pyarrow") \
-        .groupby("fingerprint").map_groups(first, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_dedup, batch_format="pandas") \
         .to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "fingerprint"]]
 
@@ -106,11 +123,16 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
     2. ``groupby(band_key)`` → candidate pairs emitted per bucket task
        (the band table is never concatenated on the driver).
     3. the deduplicated pair list (tiny, collision-bounded — guarded by
-       ``MAX_DRIVER_PAIRS``) drives a broadcast semi-join: a second
-       corpus scan keeps only candidate docs (``pc.is_in``) and emits
-       their shingle sets, so only candidates' shingles materialize.
-    4. exact Jaccard per pair (int/int division — bit-identical to the
-       oracle), threshold, sort.
+       ``MAX_DRIVER_PAIRS``) is hash-bucketed and broadcast; a second
+       corpus scan emits each candidate doc's shingle set INTO every
+       verify bucket whose pairs reference it (``pc.is_in`` filter +
+       per-doc bucket fanout) — candidate shingles flow scan-task →
+       bucket task and never concatenate on the driver (on a high-dup
+       corpus candidates ≈ corpus, so a driver concat would be a
+       corpus-sized materialization).
+    4. exact Jaccard per pair INSIDE each verify-bucket task (int/int
+       division — bit-identical to the oracle), threshold, sort; only
+       the verified (output-sized) pairs reach the driver.
 
     Returns all pairs (a < b) with token-3-shingle Jaccard ≥ 0.8 over
     the augmented corpus: (doc_a, doc_b, jaccard) — equal to the
@@ -160,45 +182,57 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
 
-    # Broadcast semi-join: only candidate docs survive the second scan;
-    # their shingle sets are the only per-doc state that materializes.
-    cand_ids = pa.array(
-        sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), type=pa.int64())
+    # Bucketed distributed verification: pairs are hash-bucketed (tiny
+    # table — broadcast), candidate docs' shingle sets flow from the
+    # second scan straight into the verify buckets that need them.
+    n_vbuckets = max(8, len(pairs) // 1024 + 1)
+    pairs = pairs.assign(
+        vbucket=(pairs["doc_a"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32))
+        .astype(np.int64) % n_vbuckets)
+    doc_buckets: dict[int, set[int]] = {}
+    for a, b, v in zip(pairs["doc_a"], pairs["doc_b"], pairs["vbucket"]):
+        doc_buckets.setdefault(int(a), set()).add(int(v))
+        doc_buckets.setdefault(int(b), set()).add(int(v))
+    cand_ids = pa.array(sorted(doc_buckets), type=pa.int64())
+    pairs_ref = ray.put(pairs)
+    fanout_ref = ray.put({d: sorted(v) for d, v in doc_buckets.items()})
 
-    def pick_shingles(batch: pa.Table) -> pa.Table:
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        fanout = ray.get(fanout_ref)
         hit = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
-        return pa.table({
-            "doc_id": hit["doc_id"],
-            "shingles": pa.array(
-                [ts.token_shingles(t) for t in hit["text"].to_pylist()],
-                type=pa.list_(pa.string())),
-        })
+        out_b, out_d, out_s = [], [], []
+        for did, text in zip(hit["doc_id"].to_pylist(),
+                             hit["text"].to_pylist()):
+            sh = sorted(ts.token_shingles(text))
+            for v in fanout[did]:
+                out_b.append(v)
+                out_d.append(did)
+                out_s.append(sh)
+        return pa.table({"vbucket": pa.array(out_b, type=pa.int64()),
+                         "doc_id": pa.array(out_d, type=pa.int64()),
+                         "shingles": pa.array(out_s,
+                                              type=pa.list_(pa.string()))})
 
-    sh_tbl = pa.concat_tables(
-        b for b in _augmented_docs(sf_dir)
-        .map_batches(pick_shingles, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))
-    sh_ref = ray.put(sh_tbl.combine_chunks())
-
-    def verify(batch: pa.Table) -> pa.Table:
-        tbl = ray.get(sh_ref)  # zero-copy Arrow from the object store
-        sh_col = tbl["shingles"]
-        ia = pc.index_in(batch["doc_a"], value_set=tbl["doc_id"]).to_pylist()
-        ib = pc.index_in(batch["doc_b"], value_set=tbl["doc_id"]).to_pylist()
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mine = ray.get(pairs_ref)
+        mine = mine[mine["vbucket"] == g["vbucket"].iloc[0]]
+        sh = {int(d): set(s) for d, s in zip(g["doc_id"], g["shingles"])}
         out_a, out_b, out_j = [], [], []
-        for a, b, i, j in zip(batch["doc_a"].to_pylist(),
-                              batch["doc_b"].to_pylist(), ia, ib):
+        for a, b in zip(mine["doc_a"], mine["doc_b"]):
             # unrounded: int/int division is bit-identical to the oracle's
-            jac = ts.jaccard(sh_col[i].as_py(), sh_col[j].as_py())
+            jac = ts.jaccard(sh[int(a)], sh[int(b)])
             if jac >= JACCARD_THRESHOLD:
-                out_a.append(a)
-                out_b.append(b)
+                out_a.append(int(a))
+                out_b.append(int(b))
                 out_j.append(jac)
-        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                         "doc_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
 
-    out = rd.from_pandas(pairs).map_batches(verify, batch_format="pyarrow") \
+    out = _augmented_docs(sf_dir) \
+        .map_batches(emit_shingles, batch_format="pyarrow") \
+        .groupby("vbucket").map_groups(verify_bucket, batch_format="pandas") \
         .to_pandas()
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -42,46 +42,66 @@ def fit_page_calibrator(media_path: str, sample_n: int = 512):
     ships ``calibration_models.pkl``, pipeline.py:196-369; here the
     corpus's construction truth IS the label).
 
-    Driver-side and small: the first ``sample_n`` page_png media rows
-    (sorted by media_ref — deterministic) are decoded once through the
-    UNCALIBRATED cascade (config default thresholds) — the same
-    quantity the fitted map is later applied to, so 600-DPI-enhanced
-    confidences are inside the fitted domain rather than extrapolated
-    past the top knot. A page is "correct" when its canonical decode
-    equals the canonical ground truth. Returns ``(knots_x, knots_y)``
-    or None when the sample is too small (calibration then stays off).
+    Sample selection is a NARROW driver read (media_ref + media_kind
+    only — the first ``sample_n`` page_png refs in media_ref order,
+    deterministic); the payload decode itself is a ``map_batches`` over
+    a ref-filtered scan (predicate pushdown — only sample rows' payload
+    bytes leave storage), so the per-job fixed cost is one small
+    distributed pass, not a serial driver loop. The ≤ sample_n (conf,
+    correct) rows are re-sorted by media_ref on the driver before the
+    PAV fit, which makes the knots byte-identical to the old serial
+    loop (fit_isotonic's stable sort sees the same input order). A page
+    is "correct" when its canonical decode equals the canonical ground
+    truth. Returns ``(knots_x, knots_y)`` or None when the sample is
+    too small (calibration then stays off).
     """
+    import numpy as np
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     from ..functions.calibration import MIN_SAMPLES, fit_isotonic
-    from ..functions.charfix import fix_text
-    from ..functions.geometry import xy_cut_order
-    from ..stages.ocr import ocr_page_cascade
 
-    t = pq.read_table(media_path,
-                      columns=["media_ref", "media_kind", "payload",
-                               "truth_lines"])
-    t = t.filter(pc.equal(t["media_kind"], "page_png"))
-    t = t.take(pc.sort_indices(t["media_ref"]))
-    t = t.slice(0, sample_n)
-    confs, correct = [], []
-    for payload, truth in zip(t["payload"].to_pylist(),
-                              t["truth_lines"].to_pylist()):
-        text, conf, status, _cascade = ocr_page_cascade(payload)
-        if status != "ok" or not truth:
-            continue
-        import numpy as np
-        xs = np.array([r["x"] for r in truth])
-        ys = np.array([r["y"] for r in truth])
-        order = xy_cut_order(xs, ys)
-        truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
-        confs.append(conf)
-        correct.append(1.0 if text == truth_text else 0.0)
-    if len(confs) < MIN_SAMPLES:
+    refs = pq.read_table(media_path, columns=["media_ref", "media_kind"])
+    refs = refs.filter(pc.equal(refs["media_kind"], "page_png"))["media_ref"]
+    sample_refs = sorted(refs.to_pylist())[:sample_n]
+    if not sample_refs:
         return None
-    import numpy as np
-    kx, ky = fit_isotonic(np.array(confs), np.array(correct))
+
+    def decode_sample(batch: pa.Table) -> pa.Table:
+        from ..functions.charfix import fix_text
+        from ..functions.geometry import xy_cut_order
+        from ..stages.ocr import ocr_page_cascade
+
+        out_ref, out_conf, out_ok = [], [], []
+        for ref, payload, truth in zip(batch["media_ref"].to_pylist(),
+                                       batch["payload"].to_pylist(),
+                                       batch["truth_lines"].to_pylist()):
+            text, conf, status, _cascade = ocr_page_cascade(payload)
+            if status != "ok" or not truth:
+                continue
+            xs = np.array([r["x"] for r in truth])
+            ys = np.array([r["y"] for r in truth])
+            order = xy_cut_order(xs, ys)
+            truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
+            out_ref.append(ref)
+            out_conf.append(conf)
+            out_ok.append(1.0 if text == truth_text else 0.0)
+        return pa.table({"media_ref": pa.array(out_ref, type=pa.string()),
+                         "conf": pa.array(out_conf, type=pa.float64()),
+                         "correct": pa.array(out_ok, type=pa.float64())})
+
+    sample = rd.read_parquet(
+        media_path, columns=["media_ref", "payload", "truth_lines"],
+        filter=pads.field("media_ref").isin(sample_refs)) \
+        .map_batches(decode_sample, batch_format="pyarrow") \
+        .to_pandas()
+    if len(sample) < MIN_SAMPLES:
+        return None
+    sample = sample.sort_values("media_ref", kind="mergesort")
+    kx, ky = fit_isotonic(sample["conf"].to_numpy(),
+                          sample["correct"].to_numpy())
     return kx.tolist(), ky.tolist()
 
 

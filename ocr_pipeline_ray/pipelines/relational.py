@@ -66,6 +66,17 @@ def _append_key_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
     return t.append_column("kbucket", pa.array(b, type=pa.int64()))
 
 
+def reduce_buckets(sf_dir: str, *tables: str) -> int:
+    """Fan-out for the key-complete bucketed reductions, derived from
+    the same on-disk-bytes rule as ``_join_partitions`` (one bucket per
+    ~128 MB of the consumed tables, floor 16): a FIXED bucket count
+    means one ``groupby(kbucket)`` task materializes 1/16 of all
+    per-key partials in a single pandas frame at any scale, which
+    stops fitting exactly when the join it consumes starts needing
+    more partitions."""
+    return _join_partitions(sf_dir, *tables, lo=16, hi=1024)
+
+
 def bucketed_sum_topk(ds, *, key: str, carry: str, val: str, k: int,
                       num_buckets: int = 16) -> pd.DataFrame:
     """KEY-COMPLETE per-key sum + global top-k over a Dataset of
@@ -253,7 +264,8 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         aggregator_ray_remote_args={"num_cpus": 0.1})
 
     per_order = bucketed_sum_topk(
-        joined, key="l_orderkey", carry="o_orderdate", val="rev_i", k=10)
+        joined, key="l_orderkey", carry="o_orderdate", val="rev_i", k=10,
+        num_buckets=reduce_buckets(sf_dir, "lineitem", "orders"))
     per_order["revenue"] = per_order["rev_i"] / SCALE
     # timestamps leave as strings so value hashing is resolution-proof
     per_order["o_orderdate"] = pd.to_datetime(per_order["o_orderdate"]) \
@@ -416,7 +428,8 @@ def late_shipment_order_priority(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_distinct_count(
         joined.map_batches(late_only, batch_format="pyarrow"),
-        key="l_orderkey", by="o_orderpriority")
+        key="l_orderkey", by="o_orderpriority",
+        num_buckets=reduce_buckets(sf_dir, "lineitem", "orders"))
     out = out.rename(columns={"n": "n_orders"})
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)

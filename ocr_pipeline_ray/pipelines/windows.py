@@ -18,22 +18,24 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..stages.agg import partial_merge
-
-
 def _events(sf_dir: str, columns: list[str]):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type: count + sum(value).
-    Pre-aggregated per batch; the shuffle moves (type, hour) partials.
+    Pre-aggregated per batch (combiner — the shuffle moves one row per
+    (type, hour, batch), never per event); the final combine is a
+    BUCKETED reduce on ``crc32(type|hour) % num_buckets`` so the merge
+    work is distributed across bucket tasks and the driver receives
+    only the output-sized result — the (type, hour) key domain GROWS
+    with the time span (decades of data ≈ millions of keys), so an
+    n_batches × keys driver merge is the wrong shape at scale."""
+    import zlib
 
-    Cardinality guard: the driver merge holds one row per (type, hour)
-    — bounded for dashboard-scale spans (a year × 10 types ≈ 90k rows)
-    but GROWING with the time span; pointed at decades of data, swap
-    the driver merge for a bucketed ``groupby(crc32(hour) % k)``
-    reduce (the relational.bucketed_* pattern)."""
+    from .relational import reduce_buckets
+
+    num_buckets = reduce_buckets(sf_dir, "events")
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,15 +44,19 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         df = df.assign(
             hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
             val_i=np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64))
-        return df.groupby(["event_type", "hour"], as_index=False).agg(
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("val_i", "size"), val_i=("val_i", "sum"))
+        g["bucket"] = [zlib.crc32(f"{t}|{h}".encode()) % num_buckets
+                       for t, h in zip(g["event_type"], g["hour"])]
+        return g
 
-    # cardinality: event_type x hour — grows only with the time span
-    # (~types x hours, e.g. 5 x 10k for a year of data), not with rows
-    out = partial_merge(ds, partial, keys=["event_type", "hour"],
-                        agg_spec={"n_events": ("n_events", "sum"),
-                                  "val_i": ("val_i", "sum")},
-                        batch_format="pandas")
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), val_i=("val_i", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_merge, batch_format="pandas") \
+        .to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["val_i"] / 1e6
     out = out[["event_type", "hour", "n_events", "sum_value"]]
@@ -152,7 +158,7 @@ def events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
     from ..stages.streaming import sessionize_streaming
 
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
-    return sessionize_streaming(ds, gap_minutes=30, num_buckets=4)
+    return sessionize_streaming(ds, gap_minutes=30)
 
 
 def errors_with_last_signup(sf_dir: str) -> pd.DataFrame:

@@ -17,9 +17,12 @@ small REORDER BUFFER and consumes slices in sequence order as the
 contiguous prefix arrives (every feeder sends its seq to every bucket
 — empty slices advance the watermark), so per-key state still sees a
 ts-ordered stream and memory stays bounded by (open sessions +
-in-flight slices). The driver only coordinates: sort → launch feeders
-→ drain. Sessions close when the inactivity gap passes; ``drain``
-flushes still-open sessions.
+in-flight slices). Output is ACTOR-SIDE: each bucket actor spills its
+closed sessions to its own parquet partition (atomic tmp→rename, the
+checkpoint-commit pattern) whenever the in-memory chunk passes
+``spill_rows``; ``drain`` flushes the tail and returns only FILE
+PATHS — session rows never pass through the driver either. The bucket
+count scales with ``ray.cluster_resources()`` unless pinned.
 
 Ordering contract (stated per the guide): the global ``ts`` sort
 provides it here; a production log would read ts-partitioned input in
@@ -30,21 +33,33 @@ Results equal the batch ``pipelines.windows.events_sessions`` exactly
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import pandas as pd
 import ray
+
+_OUT_COLUMNS = ["user_id", "session_start", "n_events", "duration_s"]
 
 
 @ray.remote(num_cpus=0.5)
 class SessionBucket:
     """Holds open sessions for the keys hashed to this bucket, plus a
-    sequence reorder buffer for out-of-order feeder deliveries."""
+    sequence reorder buffer for out-of-order feeder deliveries; closed
+    sessions spill to this bucket's own parquet partition."""
 
-    def __init__(self, gap_seconds: float) -> None:
+    def __init__(self, gap_seconds: float, out_dir: str, bucket_id: int,
+                 spill_rows: int = 100_000) -> None:
         self.gap = pd.Timedelta(seconds=gap_seconds)
         self.open: dict[int, dict] = {}  # user_id -> session record
         self.closed: list[dict] = []
         self.buf: dict[int, pd.DataFrame | None] = {}
         self.next_seq = 0
+        self.out_dir = out_dir
+        self.bucket_id = bucket_id
+        self.spill_rows = spill_rows
+        self.n_spilled = 0
+        self.paths: list[str] = []
 
     def feed(self, seq: int, df: pd.DataFrame | None) -> None:
         """Accept slice ``seq`` (possibly empty); consume the contiguous
@@ -55,6 +70,8 @@ class SessionBucket:
             self.next_seq += 1
             if part is not None and len(part):
                 self._consume(part)
+        if len(self.closed) >= self.spill_rows:
+            self._spill()
 
     def _consume(self, df: pd.DataFrame) -> None:
         for row in df.itertuples(index=False):
@@ -70,17 +87,35 @@ class SessionBucket:
                 s["last_ts"] = row.ts
                 s["n_events"] += 1
 
-    def drain(self) -> list[dict]:
+    def _spill(self) -> None:
+        """Write the closed-session chunk to a bucket-owned parquet file
+        (tmp → rename, so readers never see a partial file)."""
+        if not self.closed:
+            return
+        df = pd.DataFrame(self.closed, columns=_OUT_COLUMNS)
+        df["n_events"] = df["n_events"].astype("int64")
+        final = os.path.join(
+            self.out_dir, f"bucket{self.bucket_id:04d}-{self.n_spilled:06d}.parquet")
+        tmp = final + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.rename(tmp, final)
+        self.paths.append(final)
+        self.n_spilled += 1
+        self.closed = []
+
+    def drain(self) -> list[str]:
         """All feeders done: consume any buffered tail, flush open
-        sessions, return everything closed."""
+        sessions, spill the final chunk, return this bucket's file
+        paths (rows stay on disk — never shipped to the driver)."""
         for seq in sorted(self.buf):
             part = self.buf[seq]
             if part is not None and len(part):
                 self._consume(part)
         self.buf.clear()
-        out = self.closed + [self._emit(s) for s in self.open.values()]
-        self.closed, self.open = [], {}
-        return out
+        self.closed += [self._emit(s) for s in self.open.values()]
+        self.open = {}
+        self._spill()
+        return self.paths
 
     @staticmethod
     def _emit(s: dict) -> dict:
@@ -108,21 +143,39 @@ def _feed_block(seq: int, block, actors: list, num_buckets: int) -> int:
     return seq
 
 
+def _default_buckets() -> int:
+    """Scale the actor count with the cluster: ~1 bucket per 4 CPUs
+    (each actor reserves 0.5 CPU and shares the node with the feeder
+    tasks and the upstream sort), clamped to [2, 64]."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, cpus // 4))
+
+
 def sessionize_streaming(events_ds, gap_minutes: int = 30,
-                         num_buckets: int = 4) -> pd.DataFrame:
-    """Keyed-actor sessionizer with distributed ingestion: the driver
-    sorts, hands sorted-block REFS to feeder tasks and drains — event
-    rows themselves never pass through it."""
-    actors = [SessionBucket.remote(gap_minutes * 60)
-              for _ in range(num_buckets)]
+                         num_buckets: int | None = None,
+                         out_dir: str | None = None) -> pd.DataFrame:
+    """Keyed-actor sessionizer with distributed ingestion AND
+    distributed output: the driver sorts, hands sorted-block REFS to
+    feeder tasks, and collects per-bucket parquet PATHS — event and
+    session rows never pass through it. The returned DataFrame is read
+    back from the bucket partitions (output-sized; a 100 TB deployment
+    would hand the paths to the next stage instead)."""
+    if num_buckets is None:
+        num_buckets = _default_buckets()
+    out_dir = out_dir or os.path.join(
+        "/tmp/ocr_ray_sessions", uuid.uuid4().hex[:12])
+    os.makedirs(out_dir, exist_ok=True)
+    actors = [SessionBucket.remote(gap_minutes * 60, out_dir, b)
+              for b in range(num_buckets)]
     block_refs = events_ds.sort(["ts", "event_id"]).to_arrow_refs()
     feeds = [_feed_block.remote(seq, ref, actors, num_buckets)
              for seq, ref in enumerate(block_refs)]
     ray.get(feeds)
-    closed = [row for a in actors for row in ray.get(a.drain.remote())]
+    paths = [p for a in actors for p in ray.get(a.drain.remote())]
     for a in actors:
         ray.kill(a)
-    out = pd.DataFrame(closed, columns=["user_id", "session_start",
-                                        "n_events", "duration_s"])
+    if not paths:
+        return pd.DataFrame(columns=_OUT_COLUMNS)
+    out = pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)

@@ -21,6 +21,18 @@ from typing import Any
 _CORPUS_CACHE = "/tmp/ocr_ray_corpus"
 
 
+def _span_corpus_path(sf_dir: str) -> str:
+    """PATH of the deterministic span corpus for an sf tier — pure
+    (reads only the tier's parquet metadata; never synthesizes the
+    corpus). Used by ``oracle_sql`` so that building the oracle dict
+    has no side effects; the paired Ray query (which the driver runs
+    first) materializes the corpus via ``_span_corpus``."""
+    import pyarrow.parquet as pq
+
+    n_docs = max(50, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
+    return os.path.join(_CORPUS_CACHE, f"v3-n{n_docs}-seed42")
+
+
 def _span_corpus(sf_dir: str) -> str:
     """Deterministic span corpus derived from the sf tier (cached)."""
     import pyarrow.parquet as pq
@@ -28,7 +40,7 @@ def _span_corpus(sf_dir: str) -> str:
     from ocr_pipeline_ray.sources.synth import write_corpus
 
     n_docs = max(50, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
-    out = os.path.join(_CORPUS_CACHE, f"v3-n{n_docs}-seed42")
+    out = _span_corpus_path(sf_dir)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import ray
@@ -552,12 +564,16 @@ def oracle_sql() -> dict[str, str]:
         # media_feature_stats: size features are SQL-expressible — DuckDB
         # reads the SAME derived media parquet the Ray query reads (the
         # corpus path is deterministic per sf tier; GRAFT_ORACLE_SF_DIR
-        # selects the tier, defaulting to the driver gate's sf0.01).
+        # selects the tier, defaulting to the driver gate's sf0.01, and
+        # is read HERE at oracle_sql() call time). Path resolution is
+        # side-effect-free (_span_corpus_path); the corpus itself is
+        # materialized by the paired Ray query, which the driver runs
+        # before comparing.
         "media_feature_stats": f"""
             SELECT media_kind,
                    count(*) AS n,
                    sum(octet_length(payload))::BIGINT AS total_bytes
-            FROM read_parquet('{_span_corpus(os.environ.get(
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
                 "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/media/*.parquet')
             GROUP BY media_kind
             ORDER BY media_kind

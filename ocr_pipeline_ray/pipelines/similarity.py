@@ -5,14 +5,16 @@
   row, ``ray.put`` once, read in every task), per-batch top-k then a
   tiny global top-k. No shuffle, nothing corpus-sized on the driver.
 - embedding near-dup: IVF-cell-bucketed candidate generation — every
-  vector is assigned to its ``n_assign`` nearest coarse cells
-  (broadcast centroid matrix, one matmul per batch) and pairs are
-  emitted ONLY inside each cell's ``map_groups`` task. No all-pairs
-  scan, no corpus-matrix broadcast; the partitioning assumption is
-  that near-dup pairs co-assign to at least one cell (guaranteed for
-  the ≥0.999-cosine regime: such pairs' centroid similarities are
-  near-identical, so multi-assign overlaps; asserted against the
-  exhaustive answer in tests).
+  vector is assigned to ALL coarse cells within a similarity MARGIN of
+  its best cell (broadcast centroid matrix, one matmul per batch) and
+  pairs are emitted ONLY inside each cell's ``map_groups`` task. No
+  all-pairs scan, no corpus-matrix broadcast. Completeness is a
+  theorem, not a hope: for unit u, v with cos(u,v) ≥ τ we have
+  ‖u−v‖ ≤ √(2(1−τ)), so for any centroid c the similarities differ by
+  at most that bound; taking MARGIN = 2·√(2(1−τ)) makes u's best cell
+  fall inside v's margin band (and vice versa), so every qualifying
+  pair co-assigns to at least one cell. Skewed cells are handled by a
+  split-and-mirror salt (see ``embedding_near_dup_pairs``).
 
 All cosine math is float64 on both sides (the DuckDB oracle casts to
 DOUBLE[]) so rounded values hash identically.
@@ -117,39 +119,69 @@ def embedding_centroid_mass(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
+# Completeness margin for cell assignment at threshold τ: two unit
+# vectors with cos ≥ τ are at most √(2(1−τ)) apart, so their
+# similarities to ANY centroid differ by at most that much, and each
+# one's best cell lies within 2·√(2(1−τ)) of the other's best — vectors
+# therefore include every cell within this margin of their own best.
+# (At τ=0.999: 2·0.0448 ≈ 0.0895.) A small epsilon absorbs float noise.
+def _assign_margin(threshold: float) -> float:
+    return 2.0 * float(np.sqrt(2.0 * (1.0 - threshold))) + 1e-9
+
+
+# Split-and-mirror shard cap: a cell with more members than this is cut
+# into s = ceil(n/cap) vec_id-hashed shards and re-keyed to the
+# s(s+1)/2 shard-PAIR subtasks (each member replicated into the s
+# subtasks touching its shard), so every within-cell pair still
+# co-occurs in exactly the subtask of its two shards while per-task
+# work stays O(cap²) — the skew treatment for a corpus whose vectors
+# concentrate in few cells.
+CELL_SPLIT_CAP = 4096
+_MAX_SHARDS = 255
+
+
 def embedding_near_dup_pairs(sf_dir: str, n_cells: int = 16,
-                             n_assign: int = 2,
-                             train_sample: int = 2048) -> pd.DataFrame:
+                             train_sample: int = 2048,
+                             cell_cap: int = CELL_SPLIT_CAP) -> pd.DataFrame:
     """Cosine near-dup pairs over the corpus augmented with exact copies
     of the first N_COPY_VECS vectors (vec_id+COPY_OFFSET), via
-    IVF-CELL-BUCKETED candidate generation (the 100 TB shape — the
-    previous version broadcast the full unit matrix and scanned all n²
-    pairs):
+    IVF-CELL-BUCKETED candidate generation (the 100 TB shape — never an
+    O(n²) scan or a corpus-matrix broadcast):
 
     1. TRAIN (driver, small): spherical k-means coarse quantizer on a
        ``train_sample`` prefix (same step as ivf_topk);
-    2. ASSIGN (distributed): each batch normalizes its vectors, adds
+    2. COUNT (distributed, cheap): per-cell membership counts under the
+       margin assignment — np.bincount partials per batch, driver sum
+       of n_cells integers — to size the split-and-mirror salt;
+    3. ASSIGN (distributed): each batch normalizes its vectors, adds
        the seeded copies, and emits one (cell, vec_id, unit-vector)
-       row per ``n_assign`` nearest cells — multi-assign makes a
-       ≥0.999-cosine pair share at least one cell (near-identical
-       vectors have near-identical centroid similarities; exact
-       copies share ALL cells);
-    3. ``groupby(cell)`` → pairwise cosine WITHIN each cell task only
-       (O(Σ|cell|²), never O(n²)); cross-cell duplicates of a pair
-       are dropped after the (tiny) pair set reaches the driver.
+       row per cell within ``_assign_margin`` of its best cell — a
+       GUARANTEED-complete assignment for pairs at or above the
+       threshold (derivation at ``_assign_margin``), not a recall
+       heuristic. Cells over ``cell_cap`` fan out to shard-pair
+       subtasks (split-and-mirror; key = cell·2¹⁶ + shard pair);
+    4. ``groupby`` on the salted key → pairwise cosine WITHIN each
+       task only (O(Σ cap²)); cross-cell/cross-subtask duplicates of
+       a pair are dropped after the (output-sized) pair set reaches
+       the driver.
 
-    Matches the oracle's exhaustive cross join (equality vs the
-    brute-force answer asserted in tests/test_similarity.py). Scale
-    note: n_cells should grow ~√n so cells stay bounded; skewed cells
-    would need a split-and-mirror salt."""
+    Matches the oracle's exhaustive cross join (equality asserted in
+    tests/test_similarity.py, including a one-cell-concentrated skew
+    corpus). Scale note: n_cells should grow ~√n so cells stay
+    bounded; the salt handles the cells that stay hot anyway."""
+    margin = _assign_margin(COSINE_DUP_THRESHOLD)
     sample_unit, _ids = _sample_unit(sf_dir, train_sample)
     centroids = _train_coarse_quantizer(sample_unit, n_cells)
     cent_ref = ray.put(centroids)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    def _scan():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
 
-    def assign_cells(batch: pa.Table) -> pa.Table:
+    def _margin_cells(batch: pa.Table):
+        """(vec_ids incl. seeded copies, unit rows, bool membership
+        matrix vec × cell under the margin rule) — shared by the
+        count and assign passes so their assignments agree exactly."""
         cents = ray.get(cent_ref)
         vid = batch["vec_id"].to_numpy().astype(np.int64)
         m = _emb_np(batch["embedding"])
@@ -158,14 +190,59 @@ def embedding_near_dup_pairs(sf_dir: str, n_cells: int = 16,
         m = np.vstack([m, m[copy_mask]])
         norms = np.linalg.norm(m, axis=1)
         unit = m / np.where(norms > 0, norms, 1.0)[:, None]
-        top = np.argsort(-(unit @ cents.T), axis=1)[:, :n_assign]
-        ids_out = np.repeat(vid, n_assign)
-        units_out = np.repeat(unit, n_assign, axis=0)
+        sims = unit @ cents.T
+        member = sims >= (sims.max(axis=1, keepdims=True) - margin)
+        return vid, unit, member
+
+    def count_cells(batch: pa.Table) -> pa.Table:
+        _vid, _unit, member = _margin_cells(batch)
+        return pa.table({"cell": pa.array(np.arange(member.shape[1]),
+                                          type=pa.int64()),
+                         "n": pa.array(member.sum(axis=0).astype(np.int64),
+                                       type=pa.int64())})
+
+    counts = np.zeros(n_cells, dtype=np.int64)
+    for b in _scan().map_batches(count_cells, batch_format="pyarrow",
+                                 batch_size=4096) \
+            .iter_batches(batch_format="pandas"):
+        counts[b["cell"].to_numpy()] += b["n"].to_numpy()
+    shards = np.minimum(_MAX_SHARDS,
+                        np.maximum(1, -(-counts // cell_cap))).astype(np.int64)
+    shards_ref = ray.put(shards)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        n_shards = ray.get(shards_ref)
+        vid, unit, member = _margin_cells(batch)
+        vrow, cell = np.nonzero(member)
+        s_of = n_shards[cell]
+        # unsalted fast path (the overwhelmingly common case): one
+        # vectorized emit per (vec, cell) membership
+        plain = s_of <= 1
+        keys = [(cell[plain].astype(np.int64) << 16)]
+        rows_v = [vid[vrow[plain]]]
+        rows_u = [vrow[plain]]
+        # salted cells: mirror each member into its s shard-pair subtasks
+        hot = np.nonzero(~plain)[0]
+        if hot.size:
+            shard = (vid[vrow[hot]].astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)) \
+                % s_of[hot].astype(np.uint64)
+            k_ext, r_ext = [], []
+            for idx, sh in zip(hot, shard.astype(np.int64)):
+                c, s = int(cell[idx]), int(s_of[idx])
+                for other in range(s):
+                    i, j = (sh, other) if sh <= other else (other, sh)
+                    k_ext.append((c << 16) | (i << 8) | j)
+                    r_ext.append(vrow[idx])
+            keys.append(np.asarray(k_ext, dtype=np.int64))
+            rows_v.append(vid[np.asarray(r_ext, dtype=np.int64)])
+            rows_u.append(np.asarray(r_ext, dtype=np.int64))
+        key_arr = np.concatenate(keys)
+        unit_rows = unit[np.concatenate(rows_u).astype(np.int64)]
         return pa.table({
-            "cell": pa.array(top.ravel().astype(np.int64), type=pa.int64()),
-            "vec_id": pa.array(ids_out, type=pa.int64()),
-            "unit": pa.array(list(units_out),
-                             type=pa.list_(pa.float64())),
+            "cell": pa.array(key_arr, type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(rows_v), type=pa.int64()),
+            "unit": pa.array(list(unit_rows), type=pa.list_(pa.float64())),
         })
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -183,8 +260,8 @@ def embedding_near_dup_pairs(sf_dir: str, n_cells: int = 16,
             "cosine_sim": np.round(sims[iu[hit], ju[hit]], 4),
         })
 
-    out = ds.map_batches(assign_cells, batch_format="pyarrow",
-                         batch_size=4096) \
+    out = _scan().map_batches(assign_cells, batch_format="pyarrow",
+                              batch_size=4096) \
         .groupby("cell").map_groups(cell_pairs, batch_format="pandas") \
         .to_pandas()
     out = out.drop_duplicates(["vec_a", "vec_b"])

@@ -93,8 +93,14 @@ DISAGREE_PENALTY = 0.04
 TRUNC_CHARS_300 = 120
 TRUNC_PENALTY = 0.05
 
-# Target accuracies for calibrated thresholds (reference
-# get_calibrated_thresholds: accept 0.97 / enhance 0.90 / llm 0.85).
+# Target accuracies for calibrated thresholds. The MECHANISM mirrors
+# the reference's get_calibrated_thresholds (pipeline.py:330-369 —
+# invert the per-engine calibrator at a target accuracy); the TARGETS
+# are deliberately remapped, not copied: the reference uses
+# 0.97 accept / 0.85 enhance / 0.70 llm, while this two-tier cascade
+# has no separate accept tier and shifts enhance/llm up to 0.90/0.85
+# (the config tau defaults), keeping threshold semantics aligned with
+# the uncalibrated path.
 ACC_TARGET_ENHANCE = 0.90
 ACC_TARGET_LLM = 0.85
 

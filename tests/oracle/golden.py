@@ -10,10 +10,12 @@ Pipeline *logic* is re-implemented here independently (simple loops,
 ``sorted`` with explicit keys), and EVERY engine/cascade constant —
 engine bases and penalties, truncation window, dissent dock, cascade
 thresholds, target accuracies, boilerplate thresholds — is restated
-below as a LITERAL (values cross-checked against the reference:
-config.py:10-12 thresholds, pipeline.py:330-369 target accuracies),
-NOT imported from the engine: a wrong constant in the engine must FAIL
-this gate, not silently propagate into it. The aggressive
+below as a LITERAL (the cascade taus restate reference config.py:10-12;
+the target ACCURACIES are the engine's deliberate remap — the
+reference's pipeline.py:330-369 uses 0.97/0.85/0.70, see the
+ACC_TARGET_* note in stages/ocr.py), NOT imported from the engine: a
+wrong constant in the engine must FAIL this gate, not silently
+propagate into it. The aggressive
 confusable→digit reader, isotonic fit (PAV), interpolation and
 threshold inversion are likewise re-derived here in plain Python.
 
@@ -50,8 +52,10 @@ _TRUNC_PENALTY = 0.05
 _TAU_ENHANCE = 0.90          # reference config.py tau_enhance
 _TAU_LLM = 0.85              # reference config.py tau_llm
 _TAU_LINE_ENHANCE = 0.85
-_ACC_TARGET_ENHANCE = 0.90   # reference get_calibrated_thresholds
-_ACC_TARGET_LLM = 0.85
+_ACC_TARGET_ENHANCE = 0.90   # engine's remapped targets (the reference's
+_ACC_TARGET_LLM = 0.85       # get_calibrated_thresholds uses 0.97/0.85/0.70;
+# this cascade has no accept tier and pins its targets to the config
+# taus — see stages/ocr.py ACC_TARGET_* note)
 _LINK_DENSITY_DROP = 0.5     # boilerplate classifier thresholds
 _MIN_TEXT_CHARS = 12
 

@@ -59,3 +59,53 @@ def test_near_dup_bucketed_equals_bruteforce(ray_session):
 
     assert sorted(zip(got["vec_a"], got["vec_b"])) == expect
     assert len(expect) == similarity.N_COPY_VECS  # seeded copies found
+
+
+def test_near_dup_skewed_cell_split_and_mirror(ray_session, tmp_path):
+    """Property test for the split-and-mirror salt: a corpus whose
+    vectors ALL concentrate in one coarse cell (worst-case skew) must
+    still yield exactly the brute-force pair set when ``cell_cap``
+    forces the hot cell into shard-pair subtasks, and the shard sizing
+    must actually engage (s > 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    n, dim = 400, 16
+    base = rng.randn(dim)
+    base /= np.linalg.norm(base)
+    # tight cluster: every vector within ~2° of base → one dominant
+    # cell; a seeded subset is near-identical (> 0.999 pairs exist
+    # beyond the exact copies)
+    noise = rng.randn(n, dim) * 0.02
+    noise[:20] = rng.randn(20, dim) * 1e-4
+    mat = base[None, :] + noise
+    ids = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = similarity.embedding_near_dup_pairs(
+        str(tmp_path), n_cells=8, train_sample=256, cell_cap=64)
+
+    # brute force over the augmented corpus (same float32 storage)
+    mat32 = np.asarray(
+        pq.read_table(str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist(), dtype=np.float64)
+    copy = ids < similarity.N_COPY_VECS
+    aug_ids = np.concatenate([ids, ids[copy] + similarity.COPY_OFFSET])
+    aug = np.vstack([mat32, mat32[copy]])
+    unit = aug / np.linalg.norm(aug, axis=1)[:, None]
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(len(aug_ids), k=1)
+    hit = sims[iu, ju] >= similarity.COSINE_DUP_THRESHOLD
+    a, b = aug_ids[iu[hit]], aug_ids[ju[hit]]
+    expect = sorted(zip(np.minimum(a, b), np.maximum(a, b)))
+
+    assert len(expect) > similarity.N_COPY_VECS  # real near-dups, not
+    # just the seeded copies — the skew cluster creates them
+    assert sorted(zip(got["vec_a"], got["vec_b"])) == expect
+    # the salt must have engaged: 400+ members in one cell vs cap 64
+    assert -(-(n + copy.sum()) // 64) > 1

@@ -318,16 +318,22 @@ class TestSessionizerReorder:
         return [s0, s1, s2]
 
     def _run(self, order):
+        import tempfile
+
+        import pandas as pd
         import ray
 
         from ocr_pipeline_ray.stages.streaming import SessionBucket
-        a = SessionBucket.remote(30 * 60)
+        out_dir = tempfile.mkdtemp(prefix="sessbucket-")
+        a = SessionBucket.remote(30 * 60, out_dir, 0)
         slices = self._slices()
         for seq in order:
             ray.get(a.feed.remote(seq, slices[seq]))
-        out = ray.get(a.drain.remote())
+        paths = ray.get(a.drain.remote())
         ray.kill(a)
-        return sorted(out, key=lambda r: (r["user_id"], r["session_start"]))
+        rows = pd.concat([pd.read_parquet(p) for p in paths],
+                         ignore_index=True).to_dict("records")
+        return sorted(rows, key=lambda r: (r["user_id"], r["session_start"]))
 
     def test_out_of_order_equals_in_order(self, ray_session):
         expect = self._run([0, 1, 2])

@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_stats": modelops.media_feature_stats,
         "preprocess_media": modelops.preprocess_media,
         "degradation_bank": modelops.degradation_bank,
+        "pixel_restore_bank": modelops.pixel_restore_bank,
         "frame_samples": modelops.frame_samples,
         "ensemble_vote_merge": modelops.ensemble_vote_merge,
         "calibration_thresholds": modelops.calibration_thresholds,
@@ -580,11 +581,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # extract_spans_corpus / extract_fields_corpus / simhash_near_dups /
         # ivf_topk / preprocess_media / frame_samples / ensemble_vote_merge /
-        # calibration_thresholds: not SQL-expressible (stateful binary
-        # decode / bit hashing / approximate search / PAV) → rows-only
-        # driver check; each is gated instead by an exact pytest oracle
-        # (tests/test_extract_golden.py golden equality, test_dedup.py
-        # brute-force simhash, test_similarity.py IVF recall,
-        # test_modelops.py vote-merge == read_line, test_stages_extra.py
-        # preprocessing recovery + calibration kernels).
+        # calibration_thresholds / pixel_restore_bank: not SQL-expressible
+        # (stateful binary decode / bit hashing / approximate search / PAV /
+        # bitmap kernels) → rows-only driver check; each is gated instead by
+        # an exact pytest oracle (tests/test_extract_golden.py golden
+        # equality, test_dedup.py brute-force simhash, test_similarity.py
+        # IVF recall, test_modelops.py vote-merge == read_line,
+        # test_stages_extra.py preprocessing recovery + calibration
+        # kernels, test_pixels.py per-kernel necessity+sufficiency).
     }

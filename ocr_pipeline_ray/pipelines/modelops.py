@@ -237,3 +237,100 @@ def calibration_thresholds(sf_dir: str) -> pd.DataFrame:
             rows.append({"engine": engine, "target_accuracy": target,
                          "raw_threshold": round(thr, 4) if thr is not None else None})
     return pd.DataFrame(rows)
+
+
+def pixel_restore_bank(sf_dir: str, sample_n: int = 96) -> pd.DataFrame:
+    """P5-P8: REAL pixel-domain restoration kernels (stages/pixels.py)
+    over rendered page bitmaps, profiled as a bank.
+
+    Every sampled page's truth lines are rendered (reading order via
+    XY-cut) to a genuine grayscale bitmap, then each of 4 pixel
+    degradations (+ the clean baseline) is applied, statistics-routed
+    to its restore kernel, and template-read back:
+
+    - ``low_contrast`` -> equalize + Otsu binarize (P5/P7a; reference
+      pipeline.py:633-644 cv2 OTSU),
+    - ``noise``        -> 2x bilateral + binarize (P6; reference
+      adaptive_ocr_pipeline.py:425-431 bilateralFilter),
+    - ``blur``         -> 3x3 unsharp + binarize (P7; reference
+      adaptive_ocr_pipeline.py:433-437 filter2D sharpen),
+    - ``breaks``       -> binarize + 3x3 morphological close (P8;
+      reference adaptive_ocr_pipeline.py:438-441 MORPH_CLOSE).
+
+    Output: one row per (op, routed strategy) with page counts and
+    three read outcomes — fixed-128-threshold read (no P5), Otsu-only
+    read (P5, no P6-P8), and the routed restore read — so the profile
+    shows each kernel's necessity AND sufficiency. Deterministic
+    (seeded per media_ref x op); not SQL-expressible (bitmap domain)
+    -> rows-only driver entry with exact gates in tests/test_pixels.py.
+
+    The op is data (each page explodes into 5 rows inside the batch
+    fn), so the whole profile is ONE streamed execution; only narrow
+    count rows leave the workers.
+    """
+    import zlib
+
+    from ..functions.geometry import xy_cut_order
+    from ..stages import pixels as px
+
+    corpus = _corpus(sf_dir)
+    ops = ["none", "low_contrast", "noise", "blur", "breaks"]
+    base = rd.read_parquet(
+        f"{corpus}/media", columns=["media_ref", "media_kind",
+                                    "truth_lines"]) \
+        .filter(expr="media_kind == 'page_png'") \
+        .limit(sample_n)
+
+    def run_bank(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for ref, truth in zip(batch["media_ref"].to_pylist(),
+                              batch["truth_lines"].to_pylist()):
+            if not truth:
+                continue
+            xs = np.array([r["x"] for r in truth])
+            ys = np.array([r["y"] for r in truth])
+            order = xy_cut_order(xs, ys)
+            lines = [truth[i]["text"] for i in order]
+            expect = [ln.rstrip() for ln in lines]
+            img = px.render_lines(lines)
+            for op in ops:
+                seed = zlib.crc32(f"{ref}:{op}".encode())
+                if op == "none":
+                    d = img
+                elif op == "low_contrast":
+                    d = px.degrade_low_contrast(img)
+                elif op == "noise":
+                    d = px.degrade_noise(img, seed)
+                elif op == "blur":
+                    d = px.degrade_blur(img)
+                else:
+                    d = px.degrade_stroke_breaks(img, seed)
+                recovered, strategy = px.restore_and_read(d)
+                rows.append({
+                    "op": op,
+                    "strategy": strategy,
+                    "n_pages": 1,
+                    "fixed128_ok": int(px.read_lines(
+                        px.binarize(d, threshold=128)) == expect),
+                    "otsu_only_ok": int(px.read_lines(
+                        px.binarize(d)) == expect),
+                    "restored_ok": int(recovered == expect),
+                })
+        df = pd.DataFrame(rows, columns=["op", "strategy", "n_pages",
+                                         "fixed128_ok", "otsu_only_ok",
+                                         "restored_ok"])
+        g = df.groupby(["op", "strategy"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata()
+
+    from ..stages.agg import partial_merge
+    # cardinality: |ops| x |strategies| <= 25 — bounded, partial_merge-safe
+    out = partial_merge(base, run_bank, keys=["op", "strategy"],
+                        agg_spec={"n_pages": ("n_pages", "sum"),
+                                  "fixed128_ok": ("fixed128_ok", "sum"),
+                                  "otsu_only_ok": ("otsu_only_ok", "sum"),
+                                  "restored_ok": ("restored_ok", "sum")},
+                        batch_size=16)
+    for c in ("n_pages", "fixed128_ok", "otsu_only_ok", "restored_ok"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["op", "strategy"]).reset_index(drop=True)

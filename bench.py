@@ -16,10 +16,24 @@ Plain run:  prints ONE JSON line
     join  : media payloads resolved via the hash-partitioned
             Dataset.join instead of the broadcast table
 
+--scaling-controlled: the contention-controlled variant of the same
+  criterion (r3 verdict #3): per mode, N INTERLEAVED 8/32 pairs in
+  fresh processes on identical page-cached input, with the 8-CPU side
+  taskset-pinned to physical cores 0-7 (a faithful 8-core-node proxy:
+  its workers cannot wander over the other 24 cores, and the pin makes
+  the 8-CPU wall reproducible on a shared host). Every run also
+  reports whole-host busy CPU-seconds over the timed section, so the
+  output carries BOTH wall-clock efficiency and the CPU-time-
+  normalized efficiency wall_eff x k, where k = cpu32/cpu8 is the
+  measured CPU-time inflation of running the same rows at 32-way
+  concurrency (memory-bandwidth / host-oversubscription cost a
+  fixed-per-node-concurrency multi-node cluster does not pay).
+
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
      GRAFT_BENCH_MODE (never|skew|join, default never),
-     GRAFT_BENCH_DOCS / GRAFT_BENCH_ONLY (scaling internals).
+     GRAFT_BENCH_DOCS / GRAFT_BENCH_ONLY / GRAFT_BENCH_PAIRS /
+     GRAFT_BENCH_MODES (scaling internals).
 
 This script OWNS its Ray session (init+shutdown); library code never
 does.
@@ -145,10 +159,14 @@ def run_bench() -> dict:
         warm_file = sorted(_glob.glob(f"{corpus}/documents_spans/*.parquet"))[0]
         _build_extract(rd.read_parquet(warm_file), ref, media_ds, calib,
                        "never").count()
+        cpu0, steal0 = _host_busy_sec()
         t0 = time.perf_counter()
         spans = _build_extract(docs, ref, media_ds, calib, BENCH_MODE)
         n_spans = spans.count()
         dt = time.perf_counter() - t0
+        cpu1, steal1 = _host_busy_sec()
+        extras["extract_host_cpu_sec"] = round(cpu1 - cpu0, 1)
+        extras["extract_host_steal_sec"] = round(steal1 - steal0, 1)
         if os.environ.get("GRAFT_BENCH_STATS"):
             # per-stage wall/CPU breakdown to stderr (JSON line stays clean)
             print(spans.stats(), file=sys.stderr)
@@ -184,6 +202,27 @@ def run_bench() -> dict:
     finally:
         import ray
         ray.shutdown()
+
+
+def _host_busy_sec() -> tuple[float, float]:
+    """(executed, stolen) whole-host CPU-seconds since boot
+    (/proc/stat line 1). ``executed`` = user+nice+system+irq+softirq —
+    cycles THIS VM actually ran; idle/iowait are excluded as not-work
+    and steal is excluded because it is the hypervisor denying us the
+    vCPU (external contention, not our rows' cost) — it is returned
+    separately so runs can report how noisy the host was. Sampled
+    around the timed extract so a scaling pair can compare the
+    CPU-time the SAME rows cost at 8-way vs 32-way concurrency —
+    Ray's workers are raylet children, not bench children, so
+    getrusage(RUSAGE_CHILDREN) cannot see them; the host counter can,
+    and on the pinned/interleaved protocol the delta is attributable
+    to the run."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    vals += [0] * (8 - len(vals))
+    hz = os.sysconf("SC_CLK_TCK")
+    executed = (vals[0] + vals[1] + vals[2] + vals[5] + vals[6]) / hz
+    return executed, vals[7] / hz
 
 
 def _scaling_one_mode(mode: str, scale_docs: int) -> dict:
@@ -229,25 +268,7 @@ def run_scaling() -> dict:
     # GRAFT_BENCH_DOCS overrides for spot runs.
     mode_docs = {"never": 20 * base, "skew": 120 * base, "join": 40 * base}
 
-    # warm-up, untimed: generate the corpora (Ray-parallel) and pull
-    # bytes into the OS page cache so the timed runs measure compute +
-    # shuffle, not the first disk read
-    import ray
-    ray.init(address="local", num_cpus=32, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    corpora = set()
-    try:
-        for n in set(mode_docs.values()):
-            corpus, _ = _corpus_for_bench(SF_DIR, n_docs_override=n)
-            corpora.add(corpus)
-    finally:
-        ray.shutdown()
-    import glob
-    for c in corpora:
-        for f in glob.glob(f"{c}/**/*.parquet", recursive=True):
-            with open(f, "rb") as fh:
-                while fh.read(1 << 22):
-                    pass
+    _warm_corpora(mode_docs.values())
 
     modes = [_scaling_one_mode(m, mode_docs[m])
              for m in ("never", "skew", "join")]
@@ -259,8 +280,120 @@ def run_scaling() -> dict:
     }
 
 
+def _warm_corpora(doc_sizes) -> None:
+    """Generate (Ray-parallel) + page-cache-warm the bench corpora so
+    timed runs measure compute + shuffle, not the first disk read."""
+    import glob
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    corpora = set()
+    try:
+        for n in set(doc_sizes):
+            corpus, _ = _corpus_for_bench(SF_DIR, n_docs_override=n)
+            corpora.add(corpus)
+    finally:
+        ray.shutdown()
+    for c in corpora:
+        for f in glob.glob(f"{c}/**/*.parquet", recursive=True):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_scaling_controlled() -> dict:
+    """Contention-controlled two-parallelism-level measurement
+    (r3 verdict #3). Differences from --scaling:
+
+    - INTERLEAVED pairs (8, 32, 8, 32, ...) instead of one shot each,
+      so slow host drift hits both sides equally; per-pair
+      efficiencies and their median are published, not a single draw;
+    - the 8-CPU run is ``taskset -c 0-7`` pinned: its raylet and every
+      worker inherit the mask, so the run IS an 8-core node rather
+      than 8 logical workers scattered (and descheduled) across 32
+      shared cores — r3 measured unpinned 8-CPU walls swinging +70%
+      between identical runs, which is host contention, not dataflow;
+    - every run reports whole-host busy CPU-seconds over the timed
+      section (extract_host_cpu_sec), giving the CPU-time inflation
+      factor k = cpu32/cpu8 for identical rows. wall_eff * k is the
+      efficiency with the single-host memory-bandwidth /
+      oversubscription tax removed — the quantity that transfers to a
+      fixed-per-node-concurrency multi-node cluster, where that tax
+      is not paid (each node runs the same per-node concurrency at
+      both cluster sizes).
+    """
+    import pyarrow.parquet as pq
+
+    import statistics
+
+    base = max(100, pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows)
+    mode_docs = {"never": 20 * base, "skew": 120 * base, "join": 40 * base}
+    modes = [m for m in os.environ.get(
+        "GRAFT_BENCH_MODES", "never,skew").split(",") if m]
+    pairs = int(os.environ.get("GRAFT_BENCH_PAIRS", "3"))
+    lo = int(os.environ.get("GRAFT_BENCH_CPUS_LO", "8"))
+    hi = int(os.environ.get("GRAFT_BENCH_CPUS_HI", "32"))
+    ratio = hi / lo
+    if BENCH_DOCS:
+        mode_docs = {m: BENCH_DOCS for m in mode_docs}
+    _warm_corpora([mode_docs[m] for m in modes])
+
+    def one(mode: str, ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DOCS=str(mode_docs[mode]),
+                   GRAFT_BENCH_ONLY="extract", GRAFT_BENCH_MODE=mode)
+        # BOTH sides pinned to their first ncpu cores: each run IS an
+        # ncpu-core node (for hi=32 on a 32-core host the mask is a
+        # no-op, kept for uniformity)
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}",
+               sys.executable, os.path.abspath(__file__)]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        return {"wall": r["queries"]["extract_spans"],
+                "cpu": r["extract_host_cpu_sec"],
+                "steal": r.get("extract_host_steal_sec", 0.0)}
+
+    results = []
+    for mode in modes:
+        runs = {lo: [], hi: []}
+        for _ in range(pairs):
+            runs[lo].append(one(mode, lo))
+            runs[hi].append(one(mode, hi))
+        eff_pairs = [round((a["wall"] / b["wall"]) / ratio, 3)
+                     for a, b in zip(runs[lo], runs[hi])]
+        med_lo = statistics.median(r["wall"] for r in runs[lo])
+        med_hi = statistics.median(r["wall"] for r in runs[hi])
+        cpu_lo = statistics.median(r["cpu"] for r in runs[lo])
+        cpu_hi = statistics.median(r["cpu"] for r in runs[hi])
+        wall_eff = round((med_lo / med_hi) / ratio, 3)
+        k = round(cpu_hi / cpu_lo, 3) if cpu_lo else None
+        results.append({
+            "mode": mode, "n_docs": mode_docs[mode], "pairs": pairs,
+            "cpus_lo": lo, "cpus_hi": hi,
+            "walls_lo_pinned": [r["wall"] for r in runs[lo]],
+            "walls_hi_pinned": [r["wall"] for r in runs[hi]],
+            "host_cpu_sec_lo": [r["cpu"] for r in runs[lo]],
+            "host_cpu_sec_hi": [r["cpu"] for r in runs[hi]],
+            "host_steal_sec_lo": [r["steal"] for r in runs[lo]],
+            "host_steal_sec_hi": [r["steal"] for r in runs[hi]],
+            "eff_per_pair": eff_pairs,
+            "wall_efficiency_median": wall_eff,
+            "cpu_inflation_k": k,
+            "normalized_efficiency": round(wall_eff * k, 3) if k else None,
+        })
+    return {
+        "metric": (f"scaling efficiency, interleaved pinned "
+                   f"{lo} -> {hi}, wall + cpu-normalized"),
+        "modes": results, "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-controlled" in sys.argv:
+        print(json.dumps(run_scaling_controlled()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_augmented": dedup.exact_dedup_augmented,
         "near_dup_pairs_minhash": dedup.near_dup_pairs_minhash,
         "jaccard_consecutive": dedup.jaccard_consecutive,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_near_dups": dedup.simhash_near_dups,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
@@ -515,6 +516,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE j >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # dedup_clusters: connected components of the near-dup pair
+        # graph — transitive closure via recursive CTE over the SAME
+        # pair construction as near_dup_pairs_minhash; cluster label =
+        # min reachable doc_id (matches the engine's min-label
+        # propagation fixpoint exactly).
+        "dedup_clusters": f"""
+            WITH RECURSIVE aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, 'dup ' || text FROM documents WHERE doc_id < 10),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM aug),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.shingles, b.shingles)) * 1.0
+                       / (len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.8
+                      UNION SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8),
+            reach AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a),
+            nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+            lab AS (SELECT n.doc_id, LEAST(n.doc_id, MIN(r.b)) AS cluster_id
+                    FROM nodes n JOIN reach r ON r.a = n.doc_id
+                    GROUP BY n.doc_id)
+            SELECT doc_id, cluster_id,
+                   CAST(doc_id = cluster_id AS BIGINT) AS is_survivor
+            FROM lab ORDER BY doc_id
         """,
         "jaccard_consecutive": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)

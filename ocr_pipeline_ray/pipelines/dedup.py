@@ -349,3 +349,91 @@ def simhash_near_dups(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         .to_pandas().drop_duplicates()
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_clusters(sf_dir: str, max_rounds: int = 16) -> pd.DataFrame:
+    """Connected-components clustering of the minhash near-dup pair
+    graph — the step a dedup pipeline runs AFTER pair generation:
+    group transitively-linked docs, pick one survivor per component.
+    Returns (doc_id, cluster_id, is_survivor) for every doc that
+    appears in at least one near-dup pair, where ``cluster_id`` is the
+    minimum doc_id of the component and the survivor is that doc.
+
+    This is the engine's FIXPOINT-OPERATOR pattern (iterative
+    algorithms the reference has no counterpart for): distributed
+    min-label propagation entirely in Dataset ops — each round joins
+    the label table across the (bidirectional) edge table
+    (hash-partitioned ``Dataset.join``), reduces with a
+    ``groupby(node).min(label)``, and re-materializes the label table
+    INTO THE OBJECT STORE (``materialize()`` here is the iterative-
+    algorithm state handoff, node-set sized and distributed — not a
+    driver pull; branching an unmaterialized Dataset would re-execute
+    the whole lineage per consumer). The fixpoint test exploits
+    monotonicity: labels only ever decrease, so the label SUM is
+    strictly decreasing until convergence — one cheap ``sum()``
+    aggregate per round instead of an old-vs-new join. Rounds are
+    bounded by component diameter (near-dup components are shallow
+    star/clique shapes; a pointer-doubling variant would log-bound
+    adversarial chains).
+
+    The pair list itself is produced by the distributed
+    ``near_dup_pairs_minhash`` (output-sized, ``MAX_DRIVER_PAIRS``-
+    guarded); at corpus-scale pair volumes the verify buckets would
+    hand their pair blocks straight to this propagation as a Dataset,
+    skipping the driver hop. Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair SQL.
+    """
+    from .relational import _join_partitions
+
+    pairs = near_dup_pairs_minhash(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64"),
+                             "is_survivor": pd.Series([], dtype="int64")})
+    n_parts = _join_partitions(sf_dir, "documents", "documents")
+    return _propagate_components(pairs, n_parts, max_rounds)
+
+
+def _propagate_components(pairs: pd.DataFrame, n_parts: int,
+                          max_rounds: int = 16) -> pd.DataFrame:
+    """The propagation core (see ``dedup_clusters``): (doc_a, doc_b)
+    pair frame → (doc_id, cluster_id, is_survivor), min-label fixpoint
+    in Dataset ops. Split out so tests can drive it with adversarial
+    edge shapes (chains needing diameter rounds, not just the shallow
+    near-dup components)."""
+    src = pd.concat([pairs["doc_a"], pairs["doc_b"]], ignore_index=True)
+    dst = pd.concat([pairs["doc_b"], pairs["doc_a"]], ignore_index=True)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())}))
+    nodes = np.sort(src.unique())
+    labels = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, type=pa.int64()),
+        "label": pa.array(nodes, type=pa.int64())})).materialize()
+    prev_sum = int(nodes.sum())
+
+    def as_msg(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["dst"], "label": batch["label"]})
+
+    for _ in range(max_rounds):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=n_parts,
+                          on=("src",), right_on=("node",),
+                          aggregator_ray_remote_args={"num_cpus": 0.1}) \
+            .map_batches(as_msg, batch_format="pyarrow")
+        labels = labels.union(msgs).groupby("node").min("label") \
+            .map_batches(lambda t: pa.table({
+                "node": t["node"],
+                "label": pc.cast(t["min(label)"], pa.int64())}),
+                batch_format="pyarrow") \
+            .materialize()
+        cur_sum = int(labels.sum("label"))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.astype({"doc_id": "int64", "cluster_id": "int64"})
+    out["is_survivor"] = (out["doc_id"] == out["cluster_id"]).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

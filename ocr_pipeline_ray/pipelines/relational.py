@@ -540,9 +540,12 @@ def distinct_lang_source(sf_dir: str) -> pd.DataFrame:
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata()
 
-    frames = [b for b in ds.map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pandas")]
-    out = pd.concat(frames, ignore_index=True).drop_duplicates()
+    # incremental merge: driver memory stays |lang x source| + one
+    # partial batch, regardless of how many blocks stream past
+    out = pd.DataFrame(columns=["lang", "source"])
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pandas"):
+        out = pd.concat([out, b], ignore_index=True).drop_duplicates()
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 

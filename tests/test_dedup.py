@@ -4,6 +4,7 @@ completeness (pigeonhole) and brute-force agreement at sf0.001."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ocr_pipeline_ray.functions import textstats as ts
 from ocr_pipeline_ray.pipelines import dedup
@@ -65,3 +66,63 @@ def test_lsh_band_ints_collide_iff_band_rows_equal():
     assert set(ia) & set(ib)
     # distinct band indexes are mixed into the key → 32 distinct keys
     assert len(set(ia)) == 32
+
+
+class TestDedupClusters:
+    """Fixpoint min-label propagation (pipelines/dedup.py
+    _propagate_components) vs driver union-find ground truth."""
+
+    @staticmethod
+    def _union_find(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = pd.DataFrame(sorted((n, find(n)) for n in parent),
+                           columns=["doc_id", "cluster_id"]).astype("int64")
+        out["is_survivor"] = (out["doc_id"]
+                              == out["cluster_id"]).astype("int64")
+        return out
+
+    def test_chain_needs_multiple_rounds(self):
+        """A 12-node path graph: min label must walk the whole chain
+        (diameter rounds), the adversarial case for the fixpoint loop."""
+        from ocr_pipeline_ray.pipelines.dedup import _propagate_components
+
+        pairs = pd.DataFrame({"doc_a": np.arange(11, dtype="int64") * 7,
+                              "doc_b": np.arange(1, 12, dtype="int64") * 7})
+        got = _propagate_components(pairs, n_parts=4)
+        assert (got["cluster_id"] == 0).all()
+        assert got["is_survivor"].sum() == 1
+        assert list(got["doc_id"]) == [i * 7 for i in range(12)]
+
+    def test_random_graph_matches_union_find(self):
+        from ocr_pipeline_ray.pipelines.dedup import _propagate_components
+
+        rng = np.random.RandomState(11)
+        a = rng.randint(0, 60, 40)
+        off = rng.randint(1, 5, 40)
+        pairs = pd.DataFrame({
+            "doc_a": np.minimum(a, a + off).astype("int64"),
+            "doc_b": np.maximum(a, a + off).astype("int64")})
+        got = _propagate_components(pairs, n_parts=4)
+        pd.testing.assert_frame_equal(got, self._union_find(pairs))
+
+    def test_clusters_over_corpus_pairs(self, ray_session):
+        from ocr_pipeline_ray.pipelines.dedup import (dedup_clusters,
+                                                      near_dup_pairs_minhash)
+
+        got = dedup_clusters(SF_DIR)
+        exp = self._union_find(near_dup_pairs_minhash(SF_DIR))
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+        # every injected identical copy clusters with its source
+        assert ((got["cluster_id"] < 100_000)
+                | (~got["is_survivor"].astype(bool))).all()

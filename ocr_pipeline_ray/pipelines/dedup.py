@@ -371,10 +371,12 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 16) -> pd.DataFrame:
     the whole lineage per consumer). The fixpoint test exploits
     monotonicity: labels only ever decrease, so the label SUM is
     strictly decreasing until convergence — one cheap ``sum()``
-    aggregate per round instead of an old-vs-new join. Rounds are
-    bounded by component diameter (near-dup components are shallow
-    star/clique shapes; a pointer-doubling variant would log-bound
-    adversarial chains).
+    aggregate per round instead of an old-vs-new join. Each round also
+    POINTER-JUMPS (labels joined to themselves on label=node pull in
+    the label's own label), so convergence is O(log diameter) rounds
+    on adversarial chains, not O(diameter) — pytest drives a 100-node
+    path graph through in 8 rounds, where single-step propagation
+    would need 99.
 
     The pair list itself is produced by the distributed
     ``near_dup_pairs_minhash`` (output-sized, ``MAX_DRIVER_PAIRS``-
@@ -421,7 +423,20 @@ def _propagate_components(pairs: pd.DataFrame, n_parts: int,
                           on=("src",), right_on=("node",),
                           aggregator_ray_remote_args={"num_cpus": 0.1}) \
             .map_batches(as_msg, batch_format="pyarrow")
-        labels = labels.union(msgs).groupby("node").min("label") \
+        # pointer jump: (node, label) x (node'=label, label') ->
+        # (node, label') — halves remaining chain depth every round
+        jump = labels.join(
+            labels.map_batches(lambda t: pa.table(
+                {"jnode": t["node"], "jlabel": t["label"]}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=n_parts,
+            on=("label",), right_on=("jnode",),
+            aggregator_ray_remote_args={"num_cpus": 0.1}) \
+            .map_batches(lambda t: pa.table(
+                {"node": t["node"], "label": t["jlabel"]}),
+                batch_format="pyarrow")
+        labels = labels.union(msgs).union(jump) \
+            .groupby("node").min("label") \
             .map_batches(lambda t: pa.table({
                 "node": t["node"],
                 "label": pc.cast(t["min(label)"], pa.int64())}),

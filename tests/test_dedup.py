@@ -92,17 +92,23 @@ class TestDedupClusters:
                               == out["cluster_id"]).astype("int64")
         return out
 
-    def test_chain_needs_multiple_rounds(self):
-        """A 12-node path graph: min label must walk the whole chain
-        (diameter rounds), the adversarial case for the fixpoint loop."""
+    def test_chain_converges_in_log_rounds(self):
+        """A 100-node path graph under max_rounds=8: the min label must
+        cross 99 hops, so single-step propagation CANNOT converge (it
+        would need 99 rounds and the test would see wrong labels) —
+        only the pointer-jumping doubling path can. The adversarial
+        case for the fixpoint loop, and the proof the docstring's
+        O(log diameter) claim is code, not prose."""
         from ocr_pipeline_ray.pipelines.dedup import _propagate_components
 
-        pairs = pd.DataFrame({"doc_a": np.arange(11, dtype="int64") * 7,
-                              "doc_b": np.arange(1, 12, dtype="int64") * 7})
-        got = _propagate_components(pairs, n_parts=4)
+        n = 100
+        pairs = pd.DataFrame({
+            "doc_a": np.arange(n - 1, dtype="int64") * 7,
+            "doc_b": np.arange(1, n, dtype="int64") * 7})
+        got = _propagate_components(pairs, n_parts=4, max_rounds=8)
         assert (got["cluster_id"] == 0).all()
         assert got["is_survivor"].sum() == 1
-        assert list(got["doc_id"]) == [i * 7 for i in range(12)]
+        assert list(got["doc_id"]) == [i * 7 for i in range(n)]
 
     def test_random_graph_matches_union_find(self):
         from ocr_pipeline_ray.pipelines.dedup import _propagate_components

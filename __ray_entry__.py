@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "embedding_centroid_mass": similarity.embedding_centroid_mass,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "embedding_dup_clusters": similarity.embedding_dup_clusters,
         "ivf_topk": similarity.ivf_topk,
         # multimodal + model-adjacent operators
         "media_feature_stats": modelops.media_feature_stats,
@@ -594,6 +595,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.999
             ORDER BY vec_a, vec_b
+        """,
+        # embedding_dup_clusters: same fixpoint contract as
+        # dedup_clusters, over the cosine pair graph.
+        "embedding_dup_clusters": """
+            WITH RECURSIVE aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5),
+            prs AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.999),
+            edges AS (SELECT va AS a, vb AS b FROM prs
+                      UNION SELECT vb, va FROM prs),
+            reach AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a),
+            nodes AS (SELECT DISTINCT a AS vec_id FROM edges),
+            lab AS (SELECT n.vec_id, LEAST(n.vec_id, MIN(r.b)) AS cluster_id
+                    FROM nodes n JOIN reach r ON r.a = n.vec_id
+                    GROUP BY n.vec_id)
+            SELECT vec_id, cluster_id,
+                   CAST(vec_id = cluster_id AS BIGINT) AS is_survivor
+            FROM lab ORDER BY vec_id
         """,
         # media_feature_stats: size features are SQL-expressible — DuckDB
         # reads the SAME derived media parquet the Ray query reads (the

@@ -267,6 +267,8 @@ def run_scaling() -> dict:
     # full matrix at these sizes takes ~45 min on a quiet host;
     # GRAFT_BENCH_DOCS overrides for spot runs.
     mode_docs = {"never": 20 * base, "skew": 120 * base, "join": 40 * base}
+    if BENCH_DOCS:
+        mode_docs = {m: BENCH_DOCS for m in mode_docs}
 
     _warm_corpora(mode_docs.values())
 

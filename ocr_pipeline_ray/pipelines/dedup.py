@@ -409,6 +409,14 @@ def _propagate_components(pairs: pd.DataFrame, n_parts: int,
         "src": pa.array(src, type=pa.int64()),
         "dst": pa.array(dst, type=pa.int64())}))
     nodes = np.sort(src.unique())
+    # the joins here are NODE-SET-sized, so the partition count must
+    # scale with |nodes|, floored so every partition averages >=32
+    # rows: Ray 2.49's hash-shuffle aggregator builds a partition that
+    # received zero rows WITHOUT a schema, and pyarrow's join then
+    # fails on the missing key field (measured: 10 nodes over 8
+    # partitions reproduces it; at >=32 rows/partition the
+    # empty-partition probability is ~(1-1/p)^(32p) — negligible)
+    n_parts = max(1, min(n_parts, len(nodes) // 32))
     labels = rd.from_arrow(pa.table({
         "node": pa.array(nodes, type=pa.int64()),
         "label": pa.array(nodes, type=pa.int64())})).materialize()

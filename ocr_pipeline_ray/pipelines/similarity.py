@@ -348,3 +348,26 @@ def ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                          batch_size=4096).to_pandas()
     out = out.sort_values(["cosine_sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def embedding_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected-components clustering of the embedding near-dup pair
+    graph — the fixpoint-operator pattern (pipelines/dedup.py
+    ``_propagate_components``: distributed pointer-jumping min-label
+    propagation) composed over the IVF-bucketed pair generator instead
+    of the MinHash one. Returns (vec_id, cluster_id, is_survivor) for
+    every vector in at least one >=0.999-cosine pair; survivor = min
+    vec_id per component. Oracle: recursive-CTE transitive closure
+    over the same pair SQL."""
+    from .dedup import _propagate_components
+    from .relational import _join_partitions
+
+    pairs = embedding_near_dup_pairs(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64"),
+                             "is_survivor": pd.Series([], dtype="int64")})
+    pairs = pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    out = _propagate_components(
+        pairs, _join_partitions(sf_dir, "embeddings", "embeddings"))
+    return out.rename(columns={"doc_id": "vec_id"})

@@ -109,3 +109,18 @@ def test_near_dup_skewed_cell_split_and_mirror(ray_session, tmp_path):
     assert sorted(zip(got["vec_a"], got["vec_b"])) == expect
     # the salt must have engaged: 400+ members in one cell vs cap 64
     assert -(-(n + copy.sum()) // 64) > 1
+
+
+def test_embedding_dup_clusters_copies_join_sources(ray_session):
+    """The fixpoint clustering composed over the IVF pair generator:
+    every injected exact copy (vec_id+10000) must land in its source's
+    cluster with the source as survivor."""
+    from ocr_pipeline_ray.pipelines.similarity import embedding_dup_clusters
+
+    df = embedding_dup_clusters(SF_DIR)
+    copies = df[df["vec_id"] >= 10000]
+    assert len(copies) >= 5
+    assert (copies["cluster_id"] == copies["vec_id"] - 10000).all()
+    assert (copies["is_survivor"] == 0).all()
+    survivors = df[df["is_survivor"] == 1]
+    assert (survivors["vec_id"] == survivors["cluster_id"]).all()

@@ -7,12 +7,12 @@ driver):
   hash-partitioned groupby + per-group first — one shuffle of keys.
 - MinHash near-dup = shingle → MinHash signature per batch → explode to
   (band_key:int64, doc_id) rows → ``groupby(band_key)`` buckets →
-  candidate pairs emitted *inside each bucket task* → exact-Jaccard
-  verification of the (tiny, collision-bounded) candidate set, whose
-  texts are fetched with a broadcast semi-join (``pc.is_in`` filter on
-  a second corpus scan — only candidate docs' shingles ever
-  materialize). The all-pairs O(n²) never happens; the band table never
-  leaves the cluster.
+  candidate pairs emitted *inside each bucket task*, globally deduped
+  by a second (pair-hash) groupby → exact-Jaccard verification via two
+  hash-partitioned joins that pull each candidate doc's shingle set
+  onto its pair rows. The all-pairs O(n²) never happens; the band
+  table, the candidate pair set and the shingle sets ALL stay in the
+  cluster — the driver holds object refs and scalar counts only.
 - SimHash = 64-bit signature per doc; 9 prefix bands (widths 8+7×8 =
   64) so by pigeonhole ANY pair at Hamming distance ≤ 8 shares at
   least one clean band → bucket groupby finds all of them.
@@ -40,11 +40,44 @@ N_DUP_DOCS = 10
 DUP_OFFSET = 100_000
 JACCARD_THRESHOLD = 0.8
 
-# Guard, not a sizing assumption: the *candidate pair* set is bounded by
-# real near-dups + band collisions (≪ corpus; the band table itself stays
-# distributed). If a pathological corpus trips this, raise the LSH band
-# rows-per-band (fewer collisions) or verify pairs fully distributed.
-MAX_DRIVER_PAIRS = 5_000_000
+# Shuffle fan-out for the global candidate-pair dedup (pairs found by
+# several bands land in the same pbucket task and collapse there).
+PAIR_DEDUP_BUCKETS = 64
+
+# Shingle-set wire format for the verify joins: pyarrow's acero join
+# rejects list<> payload columns, so each doc's (sorted, distinct)
+# shingle set travels as one \x1f-delimited utf8 cell and is split back
+# inside the verify kernel. \x1f (unit separator) cannot appear in
+# whitespace-tokenized shingles.
+_SHINGLE_SEP = "\x1f"
+
+
+def bucketed_min_survivor(ds: "rd.Dataset", key_col: str,
+                          num_buckets: int,
+                          id_col: str = "doc_id") -> "rd.Dataset":
+    """The engine-standard exact-dedup reduction, as a named operator:
+    ``crc32(key) % num_buckets`` bounded int64 shuffle key + ONE
+    vectorized ``groupby(key).min(id)`` pandas pass per bucket — never
+    a raw utf8 groupby whose mostly-singleton string groups pay Ray's
+    per-group overhead plus a utf8 sort. Input: a Dataset with
+    (``id_col``:int64, ``key_col``:utf8); output: one (key, min id)
+    row per distinct key. Used by ``exact_dedup_augmented`` and
+    ``text.prefix_dedup_survivors`` (same reference capability:
+    pipeline.py:2580-2585 content digests)."""
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        return batch.append_column(
+            "bucket", pa.array([zlib.crc32(k.encode()) % num_buckets
+                                for k in keys], type=pa.int64()))
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False) \
+            .agg(**{id_col: (id_col, "min")})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_dedup, batch_format="pandas")
 
 
 def _augmented_docs(sf_dir: str):
@@ -71,15 +104,9 @@ def exact_dedup_augmented(sf_dir: str) -> pd.DataFrame:
     (doc_id+DUP_OFFSET, same text): survivors = min doc_id per content
     hash. Returns (doc_id, fingerprint) of survivors.
 
-    This is the DESIGNATED exact-dedup operator for the 100 TB story,
-    so its shuffle is the engine-standard shape: ``crc32(fingerprint)
-    % num_buckets`` (bounded int64 key) + ONE vectorized
-    ``groupby(fingerprint).min`` pass per bucket — never a raw utf8
-    ``groupby`` whose mostly-singleton string groups pay Ray's
-    per-group overhead plus a utf8 sort (the simhash fix,
-    dedup.py:120-137, applied to its own family)."""
-    import zlib
-
+    This is the DESIGNATED exact-dedup operator for the 100 TB story;
+    the reduction is the shared ``bucketed_min_survivor`` operator
+    (bounded int64 shuffle key + one vectorized pass per bucket)."""
     from .relational import reduce_buckets
 
     num_buckets = reduce_buckets(sf_dir, "documents")
@@ -95,24 +122,59 @@ def exact_dedup_augmented(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "doc_id": pa.array(all_ids, type=pa.int64()),
             "fingerprint": pa.array(fps, type=pa.string()),
-            "bucket": pa.array(
-                [zlib.crc32(f.encode()) % num_buckets for f in fps],
-                type=pa.int64()),
         })
 
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("fingerprint", as_index=False) \
-            .agg(doc_id=("doc_id", "min"))
-
-    out = ds.map_batches(augment_exact, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_dedup, batch_format="pandas") \
-        .to_pandas()
+    out = bucketed_min_survivor(
+        ds.map_batches(augment_exact, batch_format="pyarrow"),
+        "fingerprint", num_buckets).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "fingerprint"]]
 
 
-def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
+_EMPTY_PAIRS = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+
+
+class _CandidateFilter:
+    """Actor-pool scan filter: keeps only candidate docs' rows. The
+    candidate id set is handed over as OBJECT-STORE BLOCK REFS
+    (``Dataset.to_arrow_refs`` — the rows themselves never visit the
+    driver; the driver holds pointers only) and assembled ONCE per
+    actor in ``__init__``, not per batch."""
+
+    def __init__(self, id_block_refs):
+        blocks = ray.get(list(id_block_refs))
+        # blocks mirror the producing op's format — pandas lineages hand
+        # back DataFrame blocks despite the method name
+        tables = [
+            (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+            .select(["doc_id"]).cast(pa.schema([("doc_id", pa.int64())]))
+            for b in blocks
+            # empty partitions upstream arrive as schema-less blocks
+            if len(b) and "doc_id" in
+            (b.column_names if isinstance(b, pa.Table) else b.columns)]
+        if not tables:
+            tables = [pa.table({"doc_id": pa.array([], pa.int64())})]
+        self.cand_ids = pc.unique(pa.concat_tables(tables)["doc_id"]
+                                  .combine_chunks())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["doc_id"],
+                                    value_set=self.cand_ids))
+        ids = hit["doc_id"].to_pylist()
+        sh = [_SHINGLE_SEP.join(sorted(ts.token_shingles(t)))
+              for t in hit["text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.string())})
+
+
+def _near_dup_pairs_minhash_ds(sf_dir: str) -> "rd.Dataset":
     """MinHash+LSH candidate generation + exact-Jaccard verification,
-    fully distributed.
+    distributed END-TO-END: no pair-, candidate-, or corpus-derived
+    ROWS ever touch the driver (the driver holds object refs and
+    scalar counts only). Returns a Dataset of verified pairs
+    (doc_a, doc_b, jaccard) — unsorted; gates sort.
 
     Stages:
     1. per batch: shingle → 128-perm MinHash → 32 (band_key, doc_id)
@@ -120,25 +182,32 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
        far cheaper than utf8 for Ray's sort-based groupby). Docs with
        no shingles are skipped: they carry no similarity evidence and
        would otherwise all share the zero signature.
-    2. ``groupby(band_key)`` → candidate pairs emitted per bucket task
-       (the band table is never concatenated on the driver).
-    3. the deduplicated pair list (tiny, collision-bounded — guarded by
-       ``MAX_DRIVER_PAIRS``) is hash-bucketed and broadcast; a second
-       corpus scan emits each candidate doc's shingle set INTO every
-       verify bucket whose pairs reference it (``pc.is_in`` filter +
-       per-doc bucket fanout) — candidate shingles flow scan-task →
-       bucket task and never concatenate on the driver (on a high-dup
-       corpus candidates ≈ corpus, so a driver concat would be a
-       corpus-sized materialization).
-    4. exact Jaccard per pair INSIDE each verify-bucket task (int/int
-       division — bit-identical to the oracle), threshold, sort; only
-       the verified (output-sized) pairs reach the driver.
+    2. ``groupby(band_key % 64)`` → candidate pairs emitted AND
+       bucket-locally deduplicated per task; each pair leaves with a
+       ``pbucket`` hash key.
+    3. ``groupby(pbucket)`` → global pair dedup (a pair found by
+       several bands collapses in its one pbucket task). The deduped
+       candidate Dataset is materialized to the object store.
+    4. a second corpus scan keeps candidate docs only
+       (``_CandidateFilter`` actor pool, id set from block refs) and
+       emits each candidate's sorted shingle set as one delimited utf8
+       cell.
+    5. two hash-partitioned ``Dataset.join``s pull shingle sets onto
+       each pair row (sh_a, sh_b); exact Jaccard per row (int/int
+       division — bit-identical to the oracle), threshold filter.
 
-    Returns all pairs (a < b) with token-3-shingle Jaccard ≥ 0.8 over
-    the augmented corpus: (doc_a, doc_b, jaccard) — equal to the
-    oracle's exhaustive answer because LSH recall at this threshold is
-    ~1 by construction.
+    Completeness: pairs (a < b) with token-3-shingle Jaccard ≥ 0.8
+    over the augmented corpus — equal to the oracle's exhaustive
+    answer because LSH recall at this threshold is ~1 by construction.
+
+    Scale note: candidate volume on a high-duplication corpus is
+    corpus-shaped; in this design it lives only in the object store
+    and the two candidate-sized joins — nothing accumulates on the
+    driver (the old design collected the pair list driver-side under
+    a guard; that hop is gone).
     """
+    from .relational import _join_partitions
+
     num_buckets = 64  # coarse shuffle key: bounded groups, one
     # vectorized pass per bucket (a raw groupby(band_key) would pay
     # per-group overhead on millions of singleton buckets)
@@ -168,73 +237,86 @@ def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i])
                     b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                             "doc_b": pd.Series(b, dtype="int64")})
+        out = pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                            "doc_b": pd.Series(b, dtype="int64")}) \
+            .drop_duplicates()  # bucket-local dedup (cross-band folds)
+        pb = (out["doc_a"].to_numpy().astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)
+              + out["doc_b"].to_numpy().astype(np.uint64)) \
+            >> np.uint64(32)
+        out["pbucket"] = pb.astype(np.int64) % PAIR_DEDUP_BUCKETS
+        return out
 
-    pairs = _augmented_docs(sf_dir) \
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()[["doc_a", "doc_b"]]
+
+    cand = _augmented_docs(sf_dir) \
         .map_batches(band_rows, batch_format="pyarrow") \
         .groupby("bucket").map_groups(emit_pairs, batch_format="pandas") \
-        .to_pandas()
-    assert len(pairs) <= MAX_DRIVER_PAIRS, "candidate pairs exceed driver guard"
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+        .groupby("pbucket").map_groups(dedup_bucket, batch_format="pandas") \
+        .materialize()
+    n_cand = cand.count()  # scalar aggregate — no rows to the driver
+    if n_cand == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
 
-    # Bucketed distributed verification: pairs are hash-bucketed (tiny
-    # table — broadcast), candidate docs' shingle sets flow from the
-    # second scan straight into the verify buckets that need them.
-    n_vbuckets = max(8, len(pairs) // 1024 + 1)
-    pairs = pairs.assign(
-        vbucket=(pairs["doc_a"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32))
-        .astype(np.int64) % n_vbuckets)
-    doc_buckets: dict[int, set[int]] = {}
-    for a, b, v in zip(pairs["doc_a"], pairs["doc_b"], pairs["vbucket"]):
-        doc_buckets.setdefault(int(a), set()).add(int(v))
-        doc_buckets.setdefault(int(b), set()).add(int(v))
-    cand_ids = pa.array(sorted(doc_buckets), type=pa.int64())
-    pairs_ref = ray.put(pairs)
-    fanout_ref = ray.put({d: sorted(v) for d, v in doc_buckets.items()})
+    # Join partition count: candidate-sized, floored so every hash
+    # partition averages ≥32 rows (Ray 2.49's hash-shuffle aggregator
+    # emits schema-less zero-row partitions that break pyarrow's join).
+    n_parts = max(1, min(_join_partitions(sf_dir, "documents", "documents"),
+                         n_cand // 32))
 
-    def emit_shingles(batch: pa.Table) -> pa.Table:
-        fanout = ray.get(fanout_ref)
-        hit = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
-        out_b, out_d, out_s = [], [], []
-        for did, text in zip(hit["doc_id"].to_pylist(),
-                             hit["text"].to_pylist()):
-            sh = sorted(ts.token_shingles(text))
-            for v in fanout[did]:
-                out_b.append(v)
-                out_d.append(did)
-                out_s.append(sh)
-        return pa.table({"vbucket": pa.array(out_b, type=pa.int64()),
-                         "doc_id": pa.array(out_d, type=pa.int64()),
-                         "shingles": pa.array(out_s,
-                                              type=pa.list_(pa.string()))})
+    node_refs = cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(np.concatenate(
+            [t["doc_a"].to_numpy(zero_copy_only=False),
+             t["doc_b"].to_numpy(zero_copy_only=False)]),
+            type=pa.int64())}),
+        batch_format="pyarrow").materialize().to_arrow_refs()
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        mine = ray.get(pairs_ref)
-        mine = mine[mine["vbucket"] == g["vbucket"].iloc[0]]
-        sh = {int(d): set(s) for d, s in zip(g["doc_id"], g["shingles"])}
+    shing = _augmented_docs(sf_dir) \
+        .map_batches(_CandidateFilter, batch_format="pyarrow",
+                     concurrency=(1, 8),
+                     fn_constructor_args=(node_refs,)) \
+        .materialize()
+
+    sh_a = shing.map_batches(lambda t: pa.table(
+        {"join_a": t["doc_id"], "sh_a": t["sh"]}), batch_format="pyarrow")
+    sh_b = shing.map_batches(lambda t: pa.table(
+        {"join_b": t["doc_id"], "sh_b": t["sh"]}), batch_format="pyarrow")
+
+    paired = cand.join(sh_a, join_type="inner", num_partitions=n_parts,
+                       on=("doc_a",), right_on=("join_a",),
+                       aggregator_ray_remote_args={"num_cpus": 0.1}) \
+        .join(sh_b, join_type="inner", num_partitions=n_parts,
+              on=("doc_b",), right_on=("join_b",),
+              aggregator_ray_remote_args={"num_cpus": 0.1})
+
+    def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(mine["doc_a"], mine["doc_b"]):
+        for a, b, sa, sb in zip(batch["doc_a"].to_pylist(),
+                                batch["doc_b"].to_pylist(),
+                                batch["sh_a"].to_pylist(),
+                                batch["sh_b"].to_pylist()):
             # unrounded: int/int division is bit-identical to the oracle's
-            jac = ts.jaccard(sh[int(a)], sh[int(b)])
+            jac = ts.jaccard(set(sa.split(_SHINGLE_SEP)) if sa else set(),
+                             set(sb.split(_SHINGLE_SEP)) if sb else set())
             if jac >= JACCARD_THRESHOLD:
-                out_a.append(int(a))
-                out_b.append(int(b))
+                out_a.append(a)
+                out_b.append(b)
                 out_j.append(jac)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
 
-    out = _augmented_docs(sf_dir) \
-        .map_batches(emit_shingles, batch_format="pyarrow") \
-        .groupby("vbucket").map_groups(verify_bucket, batch_format="pandas") \
-        .to_pandas()
-    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return paired.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_pairs_minhash(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate wrapper over ``_near_dup_pairs_minhash_ds``: the
+    final ``to_pandas`` here is the output-sized gate return (verified
+    pairs only), not a pipeline hop."""
+    out = _near_dup_pairs_minhash_ds(sf_dir).to_pandas()
+    out = out.astype({"doc_a": "int64", "doc_b": "int64",
+                      "jaccard": "float64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -361,9 +443,11 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 16) -> pd.DataFrame:
 
     This is the engine's FIXPOINT-OPERATOR pattern (iterative
     algorithms the reference has no counterpart for): distributed
-    min-label propagation entirely in Dataset ops — each round joins
-    the label table across the (bidirectional) edge table
-    (hash-partitioned ``Dataset.join``), reduces with a
+    min-label propagation entirely in Dataset ops — each round
+    resolves neighbor + pointer-jump label lookups with ONE
+    bucketed-merge ``groupby`` (request/definition rows meet in their
+    key's bucket; see ``_propagate_components`` for why this beats a
+    label-keyed hash join), reduces with a bucketed
     ``groupby(node).min(label)``, and re-materializes the label table
     INTO THE OBJECT STORE (``materialize()`` here is the iterative-
     algorithm state handoff, node-set sized and distributed — not a
@@ -378,82 +462,164 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 16) -> pd.DataFrame:
     path graph through in 8 rounds, where single-step propagation
     would need 99.
 
-    The pair list itself is produced by the distributed
-    ``near_dup_pairs_minhash`` (output-sized, ``MAX_DRIVER_PAIRS``-
-    guarded); at corpus-scale pair volumes the verify buckets would
-    hand their pair blocks straight to this propagation as a Dataset,
-    skipping the driver hop. Oracle: DuckDB recursive-CTE transitive
-    closure over the same pair SQL.
+    The pair Dataset flows STRAIGHT from the distributed verify joins
+    (``_near_dup_pairs_minhash_ds``) into this propagation — no pair
+    row transits the driver anywhere in the composed path; only the
+    final (output-sized) cluster table does. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair SQL.
     """
     from .relational import _join_partitions
 
-    pairs = near_dup_pairs_minhash(sf_dir)
-    if not len(pairs):
+    pairs_ds = _near_dup_pairs_minhash_ds(sf_dir).materialize()
+    if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64"),
                              "is_survivor": pd.Series([], dtype="int64")})
     n_parts = _join_partitions(sf_dir, "documents", "documents")
-    return _propagate_components(pairs, n_parts, max_rounds)
+    return _propagate_components(pairs_ds, n_parts, max_rounds)
 
 
-def _propagate_components(pairs: pd.DataFrame, n_parts: int,
+def _propagate_components(pairs, n_parts: int,
                           max_rounds: int = 16) -> pd.DataFrame:
     """The propagation core (see ``dedup_clusters``): (doc_a, doc_b)
-    pair frame → (doc_id, cluster_id, is_survivor), min-label fixpoint
-    in Dataset ops. Split out so tests can drive it with adversarial
-    edge shapes (chains needing diameter rounds, not just the shallow
-    near-dup components)."""
-    src = pd.concat([pairs["doc_a"], pairs["doc_b"]], ignore_index=True)
-    dst = pd.concat([pairs["doc_b"], pairs["doc_a"]], ignore_index=True)
-    edges = rd.from_arrow(pa.table({
-        "src": pa.array(src, type=pa.int64()),
-        "dst": pa.array(dst, type=pa.int64())}))
-    nodes = np.sort(src.unique())
-    # the joins here are NODE-SET-sized, so the partition count must
-    # scale with |nodes|, floored so every partition averages >=32
-    # rows: Ray 2.49's hash-shuffle aggregator builds a partition that
-    # received zero rows WITHOUT a schema, and pyarrow's join then
-    # fails on the missing key field (measured: 10 nodes over 8
-    # partitions reproduces it; at >=32 rows/partition the
-    # empty-partition probability is ~(1-1/p)^(32p) — negligible)
-    n_parts = max(1, min(n_parts, len(nodes) // 32))
-    labels = rd.from_arrow(pa.table({
-        "node": pa.array(nodes, type=pa.int64()),
-        "label": pa.array(nodes, type=pa.int64())})).materialize()
-    prev_sum = int(nodes.sum())
+    pairs — a DATASET in the composed pipelines (straight from the
+    distributed pair generators; no driver hop) or a pandas frame in
+    tests — → (doc_id, cluster_id, is_survivor), min-label fixpoint in
+    Dataset ops. Split out so tests can drive it with adversarial edge
+    shapes (chains needing diameter rounds, not just the shallow
+    near-dup components). Sets ``_propagate_components.last_rounds``
+    to the number of propagation rounds executed (the log-diameter
+    claim is pytest-asserted against it) and RAISES if the fixpoint
+    was not reached within ``max_rounds`` — an unconverged label table
+    must never be mistaken for the oracle-equal answer."""
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array(pairs["doc_a"], type=pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"], type=pa.int64())}))
 
-    def as_msg(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["dst"], "label": batch["label"]})
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64())})
 
+    # materialized: the edge table is re-joined every round — an
+    # unmaterialized lineage would re-run the whole upstream pair
+    # pipeline per round per consumer
+    edges = pairs.materialize().map_batches(
+        bidir, batch_format="pyarrow").materialize()
+    # distinct node set with identity labels — a distributed groupby,
+    # not a driver unique(): node rows never leave the cluster
+    labels = edges.map_batches(
+        lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+        batch_format="pyarrow") \
+        .groupby("node").min("label") \
+        .map_batches(lambda t: pa.table({
+            "node": t["node"],
+            "label": pc.cast(t["min(label)"], pa.int64())}),
+            batch_format="pyarrow") \
+        .materialize()
+    n_nodes = labels.count()
+    # bucket fan-out for the per-round bucketed merges, scaled with the
+    # node set (floored so buckets stay non-trivially sized)
+    n_parts = max(1, min(n_parts, n_nodes // 32))
+    _propagate_components.last_n_parts = n_parts
+    prev_sum = int(labels.sum("label"))
+
+    # Per round, ONE bucketed-merge groupby resolves both message kinds
+    # — neighbor propagation (label(src) → dst) and the pointer jump
+    # (label(label(v)) → v) — followed by one bucketed min-reduce.
+    # DELIBERATELY NOT Dataset.join: as components converge, label
+    # values collapse onto few distinct keys, so a label-keyed hash
+    # join leaves most partitions EMPTY, and Ray 2.49's hash-shuffle
+    # aggregator emits schema-less zero-row partitions that crash
+    # pyarrow's join ("No match for FieldRef") — measured on a
+    # 4k-leaf star graph. A sort-based groupby has no empty-partition
+    # failure mode, spends no per-round join-aggregator actor startups,
+    # and the merge inside each bucket is one vectorized pandas pass.
+    # Request rows (kind=0) carry key=the node whose label is asked
+    # for, val=the node the answer is delivered to; definition rows
+    # (kind=1) carry key=node, val=its current label. Every request
+    # key is a node id (labels are node ids), so every request finds
+    # its definition in its own bucket.
+    nb = n_parts
+
+    def edge_req(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bkey": pa.array(src % nb, type=pa.int64()),
+            "kind": pa.array(np.zeros(len(src), dtype=np.int64)),
+            "key": pa.array(src, type=pa.int64()),
+            "val": pa.array(dst, type=pa.int64())})
+
+    # static across rounds — materialized once
+    edge_reqs = edges.map_batches(edge_req, batch_format="pyarrow") \
+        .materialize()
+
+    def label_reqs(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        n = len(node)
+        return pa.table({
+            "bkey": pa.array(np.concatenate([lab % nb, node % nb]),
+                             type=pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(n, dtype=np.int64),
+                 np.ones(n, dtype=np.int64)])),
+            "key": pa.array(np.concatenate([lab, node]), type=pa.int64()),
+            "val": pa.array(np.concatenate([node, lab]), type=pa.int64())})
+
+    _empty_resolved = pd.DataFrame({
+        "nbucket": pd.Series([], dtype="int64"),
+        "node": pd.Series([], dtype="int64"),
+        "label": pd.Series([], dtype="int64")})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_resolved
+        defs = g[g["kind"] == 1]
+        reqs = g[g["kind"] == 0]
+        m = reqs.merge(defs[["key", "val"]], on="key", how="inner",
+                       suffixes=("", "_def"))
+        node = np.concatenate([m["val"].to_numpy(),
+                               defs["key"].to_numpy()])
+        label = np.concatenate([m["val_def"].to_numpy(),
+                                defs["val"].to_numpy()])
+        return pd.DataFrame({
+            "nbucket": pd.Series(node % nb, dtype="int64"),
+            "node": pd.Series(node, dtype="int64"),
+            "label": pd.Series(label, dtype="int64")})
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_resolved[["node", "label"]]
+        return g.groupby("node", as_index=False).agg(label=("label", "min"))
+
+    converged = False
+    rounds = 0
     for _ in range(max_rounds):
-        msgs = edges.join(labels, join_type="inner",
-                          num_partitions=n_parts,
-                          on=("src",), right_on=("node",),
-                          aggregator_ray_remote_args={"num_cpus": 0.1}) \
-            .map_batches(as_msg, batch_format="pyarrow")
-        # pointer jump: (node, label) x (node'=label, label') ->
-        # (node, label') — halves remaining chain depth every round
-        jump = labels.join(
-            labels.map_batches(lambda t: pa.table(
-                {"jnode": t["node"], "jlabel": t["label"]}),
-                batch_format="pyarrow"),
-            join_type="inner", num_partitions=n_parts,
-            on=("label",), right_on=("jnode",),
-            aggregator_ray_remote_args={"num_cpus": 0.1}) \
-            .map_batches(lambda t: pa.table(
-                {"node": t["node"], "label": t["jlabel"]}),
-                batch_format="pyarrow")
-        labels = labels.union(msgs).union(jump) \
-            .groupby("node").min("label") \
-            .map_batches(lambda t: pa.table({
-                "node": t["node"],
-                "label": pc.cast(t["min(label)"], pa.int64())}),
-                batch_format="pyarrow") \
+        labels = edge_reqs.union(
+            labels.map_batches(label_reqs, batch_format="pyarrow")) \
+            .groupby("bkey").map_groups(resolve, batch_format="pandas") \
+            .groupby("nbucket").map_groups(min_reduce,
+                                           batch_format="pandas") \
             .materialize()
+        rounds += 1
         cur_sum = int(labels.sum("label"))
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+
+    _propagate_components.last_rounds = rounds
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"(label sum was still falling at round {rounds}: "
+            f"{prev_sum}); with pointer jumping this needs component "
+            f"diameter > 2^{max_rounds} — raise max_rounds")
 
     out = labels.to_pandas().rename(
         columns={"node": "doc_id", "label": "cluster_id"})

@@ -194,12 +194,10 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 def prefix_dedup_survivors(sf_dir: str) -> pd.DataFrame:
     """Exact dedup on a blocking key (first-5-token prefix): keep the
-    min doc_id per key. Engine-standard dedup shuffle (see
-    dedup.exact_dedup_augmented): ``crc32(prefix_key) % num_buckets``
-    bounded int64 shuffle key, one vectorized ``groupby.min`` pass per
-    bucket — not a raw utf8 groupby with per-key one-row frames."""
-    import zlib
-
+    min doc_id per key, via the engine-standard
+    ``dedup.bucketed_min_survivor`` operator (crc32-bucketed int64
+    shuffle key, one vectorized ``groupby.min`` pass per bucket)."""
+    from .dedup import bucketed_min_survivor
     from .relational import reduce_buckets
 
     num_buckets = reduce_buckets(sf_dir, "documents")
@@ -208,16 +206,9 @@ def prefix_dedup_survivors(sf_dir: str) -> pd.DataFrame:
     def key(batch: pa.Table) -> pa.Table:
         pref = [" ".join(t.split(" ")[:5]) for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"],
-                         "prefix_key": pa.array(pref, type=pa.string()),
-                         "bucket": pa.array(
-                             [zlib.crc32(p.encode()) % num_buckets
-                              for p in pref], type=pa.int64())})
+                         "prefix_key": pa.array(pref, type=pa.string())})
 
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("prefix_key", as_index=False) \
-            .agg(doc_id=("doc_id", "min"))
-
-    out = ds.map_batches(key, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_dedup, batch_format="pandas") \
-        .to_pandas()
+    out = bucketed_min_survivor(
+        ds.map_batches(key, batch_format="pyarrow"),
+        "prefix_key", num_buckets).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "prefix_key"]]

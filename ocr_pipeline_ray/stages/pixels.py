@@ -288,23 +288,35 @@ def morph_close(mask: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Readback: nearest-glyph template matching over the binarized bitmap.
 
-def read_lines(mask: np.ndarray, max_err: int | None = None) -> list[str]:
-    """Ink mask → text lines. A physical-scale mask (SCALE× the logical
-    grid) is first brought back to logical resolution by
-    NEAREST-NEIGHBOUR sampling (the centre pixel of each SCALE×SCALE
-    block — how real engines rescale a page to a recognizer's input
-    resolution); then each CELL_H band / CELL_W cell is matched to the
-    nearest font glyph by Hamming distance (vectorized against the
-    whole font stack). Deliberately NOT a majority vote: vote-pooling
-    is itself a spatial denoiser, and folding one into the reader would
-    double-count the P6 denoise stage's job (and make its recovery
-    claim untestable). ``max_err`` (default: just under half the
-    font's distance floor) rejects cells whose best match is still too
-    far — returned as '?', so noise shows up as WRONG text rather than
-    a lucky nearest neighbour."""
+def read_lines(mask: np.ndarray, max_err: int | None = None,
+               physical: bool = True) -> list[str]:
+    """Ink mask → text lines. A physical-scale mask (``physical=True``,
+    the default — what ``render_page``/the restore kernels produce) is
+    first brought back to logical resolution by NEAREST-NEIGHBOUR
+    sampling (the centre pixel of each SCALE×SCALE block — how real
+    engines rescale a page to a recognizer's input resolution); pass
+    ``physical=False`` for a mask already on the logical glyph grid.
+    The resolution is an EXPLICIT caller contract, not inferred from
+    the height modulus: a 3-line logical mask is also a multiple of
+    CELL_H·SCALE rows, so inference would silently subsample valid
+    logical input into garbage. Then each CELL_H band / CELL_W cell is
+    matched to the nearest font glyph by Hamming distance (vectorized
+    against the whole font stack). Deliberately NOT a majority vote:
+    vote-pooling is itself a spatial denoiser, and folding one into
+    the reader would double-count the P6 denoise stage's job (and make
+    its recovery claim untestable). ``max_err`` (default: just under
+    half the font's distance floor) rejects cells whose best match is
+    still too far — returned as '?', so noise shows up as WRONG text
+    rather than a lucky nearest neighbour."""
     if max_err is None:
         max_err = _MIN_GLYPH_DIST // 2 - 1
-    if mask.shape[0] % (CELL_H * SCALE) == 0 and mask.shape[0] >= CELL_H * SCALE:
+    if physical:
+        if mask.shape[0] % (CELL_H * SCALE) != 0 \
+                or mask.shape[1] % SCALE != 0:
+            raise ValueError(
+                f"physical mask must be a multiple of "
+                f"{CELL_H * SCALE} rows / {SCALE} cols, got {mask.shape}; "
+                f"pass physical=False for a logical-resolution mask")
         c = SCALE // 2
         mask = mask[c::SCALE, c::SCALE]
     n_rows = mask.shape[0] // CELL_H

@@ -151,19 +151,47 @@ def _default_buckets() -> int:
     return max(2, min(64, cpus // 4))
 
 
-def sessionize_streaming(events_ds, gap_minutes: int = 30,
-                         num_buckets: int | None = None,
-                         out_dir: str | None = None) -> pd.DataFrame:
+def _typed_empty_sessions() -> pd.DataFrame:
+    """Empty result with the SAME dtypes the non-empty path produces
+    (user_id/n_events int64, session_start utf8, duration_s float64) —
+    an all-object empty frame would diverge from the batch sessionizer
+    under exact-dtype/hash comparison."""
+    return pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "session_start": pd.Series([], dtype="object"),
+        "n_events": pd.Series([], dtype="int64"),
+        "duration_s": pd.Series([], dtype="float64")})
+
+
+def sessionize_streaming_ds(events_ds, gap_minutes: int = 30,
+                            num_buckets: int | None = None,
+                            out_dir: str | None = None):
     """Keyed-actor sessionizer with distributed ingestion AND
     distributed output: the driver sorts, hands sorted-block REFS to
     feeder tasks, and collects per-bucket parquet PATHS — event and
-    session rows never pass through it. The returned DataFrame is read
-    back from the bucket partitions (output-sized; a 100 TB deployment
-    would hand the paths to the next stage instead)."""
+    session rows never pass through it. Returns a
+    ``ray.data.Dataset`` reading the bucket partitions (the next
+    pipeline stage consumes it as a stream), or None when no sessions
+    were produced. The caller owns ``out_dir`` cleanup once the
+    Dataset is consumed.
+
+    Spill-path visibility: bucket actors write to ``out_dir`` on THEIR
+    node. On a multi-node cluster that path must be on a shared
+    filesystem (or object-store URI) passed in explicitly — with the
+    default local ``/tmp`` this raises rather than failing later with
+    a FileNotFoundError on the reading side."""
+    import ray.data as rd
+
     if num_buckets is None:
         num_buckets = _default_buckets()
-    out_dir = out_dir or os.path.join(
-        "/tmp/ocr_ray_sessions", uuid.uuid4().hex[:12])
+    if out_dir is None:
+        alive_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
+        if alive_nodes > 1:
+            raise ValueError(
+                "multi-node cluster: pass out_dir on a shared "
+                "filesystem — the default node-local /tmp spill is "
+                "only readable on a single node")
+        out_dir = os.path.join("/tmp/ocr_ray_sessions", uuid.uuid4().hex[:12])
     os.makedirs(out_dir, exist_ok=True)
     actors = [SessionBucket.remote(gap_minutes * 60, out_dir, b)
               for b in range(num_buckets)]
@@ -175,7 +203,27 @@ def sessionize_streaming(events_ds, gap_minutes: int = 30,
     for a in actors:
         ray.kill(a)
     if not paths:
-        return pd.DataFrame(columns=_OUT_COLUMNS)
-    out = pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)
+        return None
+    return rd.read_parquet(paths)
+
+
+def sessionize_streaming(events_ds, gap_minutes: int = 30,
+                         num_buckets: int | None = None,
+                         out_dir: str | None = None) -> pd.DataFrame:
+    """Driver-gate wrapper over ``sessionize_streaming_ds``: the
+    session partitions flow back as a Dataset (distributed read, not a
+    driver ``pd.concat``); the final ``to_pandas`` is the output-sized
+    gate return. The spill directory is removed after readback."""
+    import shutil
+
+    owns_dir = out_dir is None
+    ds = sessionize_streaming_ds(events_ds, gap_minutes=gap_minutes,
+                                 num_buckets=num_buckets, out_dir=out_dir)
+    if ds is None:
+        return _typed_empty_sessions()
+    out = ds.to_pandas()
+    if owns_dir:
+        spill_dir = os.path.dirname(ds.input_files()[0])
+        shutil.rmtree(spill_dir, ignore_errors=True)
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)

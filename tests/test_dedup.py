@@ -93,22 +93,73 @@ class TestDedupClusters:
         return out
 
     def test_chain_converges_in_log_rounds(self):
-        """A 100-node path graph under max_rounds=8: the min label must
+        """A 100-node path graph under max_rounds=9 (8 propagation
+        rounds + the equal-sum confirming round): the min label must
         cross 99 hops, so single-step propagation CANNOT converge (it
-        would need 99 rounds and the test would see wrong labels) —
-        only the pointer-jumping doubling path can. The adversarial
-        case for the fixpoint loop, and the proof the docstring's
-        O(log diameter) claim is code, not prose."""
+        would need 99 rounds and the run would RAISE) — only the
+        pointer-jumping doubling path can. The adversarial case for
+        the fixpoint loop, and the proof the docstring's O(log
+        diameter) claim is code, not prose."""
         from ocr_pipeline_ray.pipelines.dedup import _propagate_components
 
         n = 100
         pairs = pd.DataFrame({
             "doc_a": np.arange(n - 1, dtype="int64") * 7,
             "doc_b": np.arange(1, n, dtype="int64") * 7})
-        got = _propagate_components(pairs, n_parts=4, max_rounds=8)
+        got = _propagate_components(pairs, n_parts=4, max_rounds=9)
+        assert _propagate_components.last_rounds <= 9
         assert (got["cluster_id"] == 0).all()
         assert got["is_survivor"].sum() == 1
         assert list(got["doc_id"]) == [i * 7 for i in range(n)]
+
+    def test_adversarial_volume_log_rounds_and_partition_scaling(self):
+        """VERDICT r4 #6: drive the fixpoint with a large adversarial
+        pair graph — one giant star component + many disjoint chains,
+        the shape a high-duplication corpus produces — and assert (a)
+        the answer matches union-find, (b) round count stays ≤
+        log2(diameter)+2 (the pointer-jumping claim at volume, not
+        just on the toy chain), (c) the per-round join partition count
+        scaled up with the node set instead of sticking at the floor."""
+        from ocr_pipeline_ray.pipelines.dedup import _propagate_components
+
+        star_n, chain_len, n_chains = 1000, 129, 10
+        star = pd.DataFrame({
+            "doc_a": np.zeros(star_n, dtype="int64"),
+            "doc_b": np.arange(1, star_n + 1, dtype="int64")})
+        chains = []
+        base = 1_000_000
+        for c in range(n_chains):
+            lo = base + c * 10_000
+            chains.append(pd.DataFrame({
+                "doc_a": np.arange(lo, lo + chain_len - 1, dtype="int64"),
+                "doc_b": np.arange(lo + 1, lo + chain_len, dtype="int64")}))
+        pairs = pd.concat([star] + chains, ignore_index=True)
+        got = _propagate_components(pairs, n_parts=8)
+        diameter = chain_len - 1
+        # measured: 9 rounds (8 halvings of the 128-hop chains + the
+        # equal-sum confirming round) = ceil(log2 128) + 2
+        assert _propagate_components.last_rounds \
+            <= int(np.ceil(np.log2(diameter))) + 2
+        # 2291 nodes / 32 floor = 71 > 8 → the requested fan-out wins,
+        # i.e. the bucket count scaled with the graph, not the
+        # small-graph floor
+        assert _propagate_components.last_n_parts == 8
+        pd.testing.assert_frame_equal(got, self._union_find(pairs))
+
+    def test_unconverged_raises_instead_of_silent_partial(self):
+        """An exhausted round budget must RAISE, never return a
+        partial (non-oracle) label table (ADVICE r4): a 100-node chain
+        cannot converge in 2 rounds."""
+        import pytest
+
+        from ocr_pipeline_ray.pipelines.dedup import _propagate_components
+
+        n = 100
+        pairs = pd.DataFrame({
+            "doc_a": np.arange(n - 1, dtype="int64"),
+            "doc_b": np.arange(1, n, dtype="int64")})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            _propagate_components(pairs, n_parts=4, max_rounds=2)
 
     def test_random_graph_matches_union_find(self):
         from ocr_pipeline_ray.pipelines.dedup import _propagate_components

@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preprocess_media": modelops.preprocess_media,
         "degradation_bank": modelops.degradation_bank,
         "pixel_restore_bank": modelops.pixel_restore_bank,
+        "pixel_tiled_restore": modelops.pixel_tiled_restore,
         "frame_samples": modelops.frame_samples,
         "ensemble_vote_merge": modelops.ensemble_vote_merge,
         "calibration_thresholds": modelops.calibration_thresholds,
@@ -640,14 +641,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY media_kind
             ORDER BY media_kind
         """,
+        # preprocess_media / pixel_restore_bank / pixel_tiled_restore:
+        # the bitmap decisions are not SQL-expressible, but each query
+        # WRITES its per-row lineage to a derived parquet partition
+        # (modelops._lineage_write) and returns the aggregation of that
+        # file — the oracle reads the SAME file, so the driver
+        # hash-checks schema + values end to end (the kernels
+        # themselves are gated exactly in tests/test_pixels.py,
+        # test_tiling.py, test_stages_extra.py).
+        "preprocess_media": f"""
+            SELECT media_ref, media_kind, pp_rotated, pp_dewarped,
+                   pp_rescaled, pp_noise_score
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/preprocess_lineage/*.parquet')
+            ORDER BY media_ref
+        """,
+        "pixel_restore_bank": f"""
+            SELECT op, strategy,
+                   count(*)::BIGINT AS n_pages,
+                   sum(fixed128_ok)::BIGINT AS fixed128_ok,
+                   sum(otsu_only_ok)::BIGINT AS otsu_only_ok,
+                   sum(restored_ok)::BIGINT AS restored_ok
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/pixel_bank_lineage/*.parquet')
+            GROUP BY op, strategy
+            ORDER BY op, strategy
+        """,
+        "pixel_tiled_restore": f"""
+            SELECT media_ref, n_patches, otsu_only_ok, tiled_restored_ok
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/pixel_tiled_lineage/*.parquet')
+            ORDER BY media_ref
+        """,
         # extract_spans_corpus / extract_fields_corpus / simhash_near_dups /
-        # ivf_topk / preprocess_media / frame_samples / ensemble_vote_merge /
-        # calibration_thresholds / pixel_restore_bank: not SQL-expressible
-        # (stateful binary decode / bit hashing / approximate search / PAV /
-        # bitmap kernels) → rows-only driver check; each is gated instead by
-        # an exact pytest oracle (tests/test_extract_golden.py golden
-        # equality, test_dedup.py brute-force simhash, test_similarity.py
-        # IVF recall, test_modelops.py vote-merge == read_line,
+        # ivf_topk / frame_samples / ensemble_vote_merge /
+        # calibration_thresholds: not SQL-expressible (stateful binary
+        # decode / bit hashing / approximate search / PAV) → rows-only
+        # driver check; each is gated instead by an exact pytest oracle
+        # (tests/test_extract_golden.py golden equality, test_dedup.py
+        # brute-force simhash, test_similarity.py IVF recall,
+        # test_modelops.py vote-merge == read_line,
         # test_stages_extra.py preprocessing recovery + calibration
-        # kernels, test_pixels.py per-kernel necessity+sufficiency).
+        # kernels).
     }

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import calibration
@@ -22,6 +23,21 @@ from ..stages.ensemble import ensemble_merge
 def _corpus(sf_dir: str) -> str:
     import __ray_entry__ as entrymod
     return entrymod._span_corpus(sf_dir)
+
+
+def _lineage_write(ds: "rd.Dataset", path: str) -> "rd.Dataset":
+    """Materialize a lineage/profile Dataset to a deterministic parquet
+    directory (cleared first — content is deterministic per corpus) and
+    return a Dataset reading it back. This is the derived-file oracle
+    contract: the paired DuckDB oracle reads the SAME files, so the
+    driver gate checks rows+schema+hash on the aggregation instead of
+    rows-only, and the written partition dir doubles as the resumable
+    output the 100 TB run would checkpoint."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
 
 
 def media_feature_stats(sf_dir: str) -> pd.DataFrame:
@@ -56,9 +72,11 @@ def preprocess_media(sf_dir: str) -> pd.DataFrame:
     rotated 90° clockwise upstream (simulated scanner rotation), then
     the PreprocessMedia actor stage deskews / dewarps / size-caps /
     noise-scores every payload. Returns per-media preprocessing
-    lineage; recovery of the rotated pages' reading order is asserted
-    exactly in tests/test_stages_extra.py (rows-only driver entry —
-    the decision inputs are binary decodes)."""
+    lineage, WRITTEN to a derived parquet partition first (the
+    ``_lineage_write`` contract) so the driver's DuckDB oracle reads
+    the same file and hash-checks the result; the bitmap decisions
+    themselves (rotated-page reading-order recovery) are gated exactly
+    in tests/test_stages_extra.py."""
     import zlib
 
     corpus = _corpus(sf_dir)
@@ -79,12 +97,18 @@ def preprocess_media(sf_dir: str) -> pd.DataFrame:
                          "media_kind": t["media_kind"],
                          "payload": pa.array(out, type=pa.binary())})
 
+    def round_score(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("pp_noise_score"), "pp_noise_score",
+            pc.round(t["pp_noise_score"], ndigits=6))
+
     pp = media.map_batches(misscan, batch_format="pyarrow") \
         .map_batches(multimodal.PreprocessMedia, batch_size=128,
                      concurrency=2, batch_format="pyarrow") \
-        .drop_columns(["payload"])
-    out = pp.to_pandas()
-    out["pp_noise_score"] = out["pp_noise_score"].round(6)
+        .drop_columns(["payload"]) \
+        .map_batches(round_score, batch_format="pyarrow")
+    out = _lineage_write(pp, f"{_corpus(sf_dir)}/preprocess_lineage") \
+        .to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
@@ -261,8 +285,12 @@ def pixel_restore_bank(sf_dir: str, sample_n: int = 96) -> pd.DataFrame:
     three read outcomes — fixed-128-threshold read (no P5), Otsu-only
     read (P5, no P6-P8), and the routed restore read — so the profile
     shows each kernel's necessity AND sufficiency. Deterministic
-    (seeded per media_ref x op); not SQL-expressible (bitmap domain)
-    -> rows-only driver entry with exact gates in tests/test_pixels.py.
+    (seeded per media_ref x op). The per-(page, op) outcome rows are
+    WRITTEN to a derived parquet partition (``_lineage_write``) and
+    the returned profile is aggregated FROM that file — the paired
+    DuckDB oracle runs the same GROUP BY over the same file, so the
+    driver gate hash-checks the aggregation (the bitmap kernels
+    themselves are gated exactly in tests/test_pixels.py).
 
     The op is data (each page explodes into 5 rows inside the batch
     fn), so the whole profile is ONE streamed execution; only narrow
@@ -307,30 +335,148 @@ def pixel_restore_bank(sf_dir: str, sample_n: int = 96) -> pd.DataFrame:
                     d = px.degrade_stroke_breaks(img, seed)
                 recovered, strategy = px.restore_and_read(d)
                 rows.append({
+                    "media_ref": ref,
                     "op": op,
                     "strategy": strategy,
-                    "n_pages": 1,
                     "fixed128_ok": int(px.read_lines(
                         px.binarize(d, threshold=128)) == expect),
                     "otsu_only_ok": int(px.read_lines(
                         px.binarize(d)) == expect),
                     "restored_ok": int(recovered == expect),
                 })
-        df = pd.DataFrame(rows, columns=["op", "strategy", "n_pages",
+        df = pd.DataFrame(rows, columns=["media_ref", "op", "strategy",
                                          "fixed128_ok", "otsu_only_ok",
                                          "restored_ok"])
-        g = df.groupby(["op", "strategy"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata()
+
+    lineage = _lineage_write(
+        base.map_batches(run_bank, batch_size=16, batch_format="pyarrow"),
+        f"{corpus}/pixel_bank_lineage")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["op", "strategy"], as_index=False).agg(
+            n_pages=("media_ref", "size"),
+            fixed128_ok=("fixed128_ok", "sum"),
+            otsu_only_ok=("otsu_only_ok", "sum"),
+            restored_ok=("restored_ok", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata()
 
     from ..stages.agg import partial_merge
     # cardinality: |ops| x |strategies| <= 25 — bounded, partial_merge-safe
-    out = partial_merge(base, run_bank, keys=["op", "strategy"],
+    out = partial_merge(lineage, partial, keys=["op", "strategy"],
                         agg_spec={"n_pages": ("n_pages", "sum"),
                                   "fixed128_ok": ("fixed128_ok", "sum"),
                                   "otsu_only_ok": ("otsu_only_ok", "sum"),
-                                  "restored_ok": ("restored_ok", "sum")},
-                        batch_size=16)
+                                  "restored_ok": ("restored_ok", "sum")})
     for c in ("n_pages", "fixed128_ok", "otsu_only_ok", "restored_ok"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["op", "strategy"]).reset_index(drop=True)
+
+
+def pixel_tiled_restore(sf_dir: str, sample_n: int = 12) -> pd.DataFrame:
+    """P9: the patch-tiled overlap-blend denoise dataflow (reference
+    jax_denoising_adapter.py:237-348) run as a REAL Ray pipeline over
+    corpus pages — the explode → per-patch kernel → regroup+blend
+    shape that makes huge pages parallel patch rows:
+
+    1. each sampled page renders, takes seeded sigma-90 sensor noise,
+       and EXPLODES into overlapping 48px patch rows
+       (``tiling.explode_patches``) inside the scan task;
+    2. a stateless ``map_batches`` stage runs the per-patch model
+       (2-pass bilateral, the P6 kernel) on every patch row — the seam
+       where the reference's learned U-Net would run, torch/JAX-blocked
+       here but dataflow-identical;
+    3. ``groupby(media_ref)`` regroups one page's patches and blends
+       them under the linear-ramp weight mask
+       (``tiling.blend_patches``), then binarizes and template-reads
+       the page back.
+
+    Per-page outcome rows (patch count, Otsu-only read vs tiled-restore
+    read) are written via ``_lineage_write`` so the DuckDB oracle reads
+    the same derived file — the driver gate hash-checks this entry.
+    Seam correctness and blend math are gated in tests/test_tiling.py;
+    the end-to-end Ray path is gated in tests/test_modelops.py.
+    """
+    import zlib
+
+    from ..functions.geometry import xy_cut_order
+    from ..stages import pixels as px
+    from ..stages import tiling as tl
+
+    corpus = _corpus(sf_dir)
+    base = rd.read_parquet(
+        f"{corpus}/media", columns=["media_ref", "media_kind",
+                                    "truth_lines"]) \
+        .filter(expr="media_kind == 'page_png'") \
+        .limit(sample_n)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        refs, expects, naive, py, pxs, hh, ww, tiles = \
+            [], [], [], [], [], [], [], []
+        for ref, truth in zip(batch["media_ref"].to_pylist(),
+                              batch["truth_lines"].to_pylist()):
+            if not truth:
+                continue
+            xs = np.array([r["x"] for r in truth])
+            ys = np.array([r["y"] for r in truth])
+            order = xy_cut_order(xs, ys)
+            lines = [truth[i]["text"] for i in order]
+            expect = [ln.rstrip() for ln in lines]
+            img = px.render_lines(lines)
+            noisy = px.degrade_noise(img, zlib.crc32(ref.encode()))
+            naive_ok = int(px.read_lines(px.binarize(noisy)) == expect)
+            for p in tl.explode_patches(noisy):
+                refs.append(ref)
+                expects.append("\n".join(expect))
+                naive.append(naive_ok)
+                py.append(p["py"])
+                pxs.append(p["px"])
+                hh.append(p["h"])
+                ww.append(p["w"])
+                tiles.append(p["tile"])
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "expect": pa.array(expects, type=pa.string()),
+            "otsu_only_ok": pa.array(naive, type=pa.int64()),
+            "py": pa.array(py, type=pa.int64()),
+            "px": pa.array(pxs, type=pa.int64()),
+            "h": pa.array(hh, type=pa.int64()),
+            "w": pa.array(ww, type=pa.int64()),
+            "tile": pa.array([t.tolist() for t in tiles],
+                             type=pa.list_(pa.uint8())),
+        })
+
+    def denoise_patch(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["tile"].to_pylist():
+            tile = np.asarray(t, dtype=np.uint8) \
+                .reshape(tl.PATCH, tl.PATCH)
+            out.append(px.bilateral(px.bilateral(tile)).ravel().tolist())
+        return batch.set_column(batch.column_names.index("tile"), "tile",
+                                pa.array(out, type=pa.list_(pa.uint8())))
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        page = tl.blend_patches(g.to_dict("records"))
+        restored = px.read_lines(px.binarize(page))
+        expect = g["expect"].iloc[0].split("\n")
+        return pd.DataFrame({
+            "media_ref": [g["media_ref"].iloc[0]],
+            "n_patches": pd.Series([len(g)], dtype="int64"),
+            "otsu_only_ok": pd.Series([int(g["otsu_only_ok"].iloc[0])],
+                                      dtype="int64"),
+            "tiled_restored_ok": pd.Series([int(restored == expect)],
+                                           dtype="int64")})
+
+    profile = base.map_batches(explode, batch_format="pyarrow",
+                               batch_size=4) \
+        .map_batches(denoise_patch, batch_format="pyarrow",
+                     batch_size=64) \
+        .groupby("media_ref").map_groups(regroup, batch_format="pandas")
+    out = _lineage_write(profile, f"{corpus}/pixel_tiled_lineage") \
+        .to_pandas()
+    for c in ("n_patches", "otsu_only_ok", "tiled_restored_ok"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_ref").reset_index(drop=True)

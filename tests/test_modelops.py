@@ -44,3 +44,16 @@ def test_disagreeing_engines_vote_flips():
     winner_600, _ = read_line("Meter lOZS", 600)
     assert winner_300 == "Meter lOZS"   # raw pair wins at 300
     assert winner_600 == "Meter 1025"   # corrected pair wins at 600
+
+
+def test_pixel_tiled_restore_recovers_every_page(ray_session):
+    """P9 end-to-end through Ray: every sampled page's sigma-90 noise
+    defeats the Otsu-only read (necessity) and the tiled 2-pass
+    bilateral — explode → per-patch kernel → regroup+blend — restores
+    an exact read (sufficiency), across real patch seams (every page
+    larger than one 48px tile)."""
+    prof = modelops.pixel_tiled_restore(SF_DIR)
+    assert len(prof) > 0
+    assert (prof["n_patches"] > 1).all()
+    assert (prof["otsu_only_ok"] == 0).all()
+    assert (prof["tiled_restored_ok"] == 1).all()

@@ -142,6 +142,7 @@ def run_bench() -> dict:
         corpus, n_docs = _corpus_for_bench(SF_DIR)
         timings: dict[str, float] = {}
         extras: dict[str, float] = {}
+        suite_cpu0, suite_steal0 = _host_busy_sec()
 
         # headline: flagship extraction pipeline. Input setup (driver-
         # side media read + object-store put + calibrator fit) stays
@@ -189,6 +190,9 @@ def run_bench() -> dict:
             fn(SF_DIR)
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        suite_cpu1, suite_steal1 = _host_busy_sec()
+        extras["suite_host_cpu_sec"] = round(suite_cpu1 - suite_cpu0, 1)
+        extras["suite_host_steal_sec"] = round(suite_steal1 - suite_steal0, 1)
         total = round(sum(timings.values()), 3)
         return {
             "metric": "headline pipeline wall time (extraction + query suite)",
@@ -392,10 +396,45 @@ def run_scaling_controlled() -> dict:
     }
 
 
+def run_bench_steal_gated() -> dict:
+    """Recorded-bench steal gate (r4 verdict #5): a run whose
+    hypervisor steal exceeds ``GRAFT_BENCH_STEAL_GATE`` (default 10%)
+    of the suite wall is host noise, not pipeline performance — retry
+    in a FRESH process (bounded, ``GRAFT_BENCH_ATTEMPTS``, default 3)
+    and report the quietest attempt, with every attempt's steal ratio
+    disclosed so a fully-contended host is visible rather than
+    silently recorded."""
+    gate = float(os.environ.get("GRAFT_BENCH_STEAL_GATE", "0.10"))
+    max_attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3")))
+    attempts: list[tuple[float, dict]] = []
+    env = dict(os.environ, GRAFT_BENCH_CHILD="1")
+    for _ in range(max_attempts):
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise RuntimeError(f"bench child failed (rc={p.returncode})")
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        # fraction of this VM's intended cycles the hypervisor denied
+        # over the suite window — dimensionless (CPU-sec / CPU-sec)
+        steal = r.get("suite_host_steal_sec", 0.0)
+        ratio = steal / max(steal + r.get("suite_host_cpu_sec", 0.0), 1e-9)
+        attempts.append((ratio, r))
+        if ratio <= gate:
+            break
+    best_ratio, best = min(attempts, key=lambda t: t[0])
+    best["steal_gate"] = gate
+    best["steal_ratio_attempts"] = [round(a[0], 3) for a in attempts]
+    best["steal_contended"] = bool(best_ratio > gate)
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling-controlled" in sys.argv:
         print(json.dumps(run_scaling_controlled()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif os.environ.get("GRAFT_BENCH_CHILD"):
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_bench_steal_gated()))

@@ -30,7 +30,7 @@ def _span_corpus_path(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     n_docs = max(50, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
-    return os.path.join(_CORPUS_CACHE, f"v3-n{n_docs}-seed42")
+    return os.path.join(_CORPUS_CACHE, f"v4-n{n_docs}-seed42")
 
 
 def _span_corpus(sf_dir: str) -> str:

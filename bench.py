@@ -78,7 +78,7 @@ def _corpus_for_bench(sf_dir: str, n_docs_override: int = 0) -> tuple[str, int]:
 
     n_docs = n_docs_override or BENCH_DOCS or max(
         100, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
-    out = f"/tmp/ocr_ray_bench_corpus/v3-n{n_docs}-seed42"
+    out = f"/tmp/ocr_ray_bench_corpus/v4-n{n_docs}-seed42"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         num_files = max(16, n_docs // 300)

@@ -58,6 +58,13 @@ _DEGRADATION_TYPES = (
     "downscale", "brightness", "shadows",
 )
 
+# Pixel-domain degradation classes for raster pages (page_raster media):
+# each is repaired by exactly one P5-P8 kernel at the severities the
+# pixel tests prove necessary+sufficient (stages/pixels.py defaults).
+_PIXEL_DEGRADATIONS = ("none", "pixel_low_contrast", "pixel_noise",
+                       "pixel_blur", "pixel_dropout")
+_PIXEL_DEG_P = (0.28, 0.18, 0.18, 0.18, 0.18)
+
 SPANS_SCHEMA = pa.list_(pa.struct([
     ("kind", pa.string()), ("text", pa.string()),
     ("media_ref", pa.string()), ("offset", pa.int32()),
@@ -111,6 +118,42 @@ def _corrupt_text(text: str, rng: np.random.RandomState, sev_idx: int) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+def _raster_media(rng: np.random.RandomState, mseed: int) -> dict:
+    """One raster-page media row: render clean text lines to a REAL
+    grayscale bitmap (stages.pixels), apply at most one pixel-domain
+    degradation, and store the degraded bitmap as the payload. The
+    flagship must run the matching P5-P8 kernel to read the page back
+    (ground truth recorded as lineage, reference
+    synthetic_degradation.py:457-506 pattern)."""
+    from ..stages import pixels
+
+    n_lines = int(rng.randint(2, 6))
+    texts = [(_bill_line(rng) if rng.rand() < 0.3
+              else _words(rng, int(rng.randint(3, 8))))
+             for _ in range(n_lines)]
+    img = pixels.render_lines(texts)
+    deg = _PIXEL_DEGRADATIONS[int(rng.choice(len(_PIXEL_DEGRADATIONS),
+                                             p=_PIXEL_DEG_P))]
+    if deg == "pixel_low_contrast":
+        img = pixels.degrade_low_contrast(img)
+    elif deg == "pixel_noise":
+        img = pixels.degrade_noise(img, mseed)
+    elif deg == "pixel_blur":
+        img = pixels.degrade_blur(img)
+    elif deg == "pixel_dropout":
+        img = pixels.degrade_stroke_breaks(img, mseed)
+    band = pixels.CELL_H * pixels.SCALE
+    return {
+        "media_kind": "page_raster",
+        "payload": media_stub.encode_raster(img),
+        # reading order = render order (one band per line, top to bottom)
+        "truth_lines": [{"text": t, "x": 0, "y": li * band}
+                        for li, t in enumerate(texts)],
+        "degradations": ([] if deg == "none"
+                         else [{"type": deg, "severity": "high"}]),
+    }
 
 
 def _boilerplate_span(rng: np.random.RandomState) -> str:
@@ -171,6 +214,10 @@ def gen_doc(seed: int, doc_index: int, skew_upper: int = 300) -> tuple[dict, lis
                     "payload": media_stub.encode_digital("\n".join(dlines)),
                     "truth_lines": [], "degradations": [],
                 })
+            elif kind_roll < 0.26:
+                # raster-bitmap page: P5-P8 pixel kernels required
+                media_rows.append({"media_ref": ref,
+                                   **_raster_media(rng, mseed)})
             else:
                 sev_idx = int(rng.choice(len(_SEVERITY_LEVELS), p=_SEVERITY_P))
                 n_lines = int(rng.randint(3, 12))

@@ -19,6 +19,17 @@ opaque binary (a decode step is required; you cannot grep the text).
 ``BLNK`` payloads model blank pages (reference blank detector,
 pipeline.py:425-456); payloads without a known magic model corrupt
 files (reference format validator, pipeline.py:2615-2685).
+
+Format ``FPX1`` (raster page, version 1) carries a REAL grayscale
+bitmap (a ``stages.pixels.render_lines`` rendering, possibly
+pixel-degraded at corpus-build time):
+
+    b"FPX1" | h: uint32 LE | w: uint32 LE | h*w uint8 pixels (row-major)
+
+Unlike FPG1 there is no text to unscramble — recovering the page text
+requires the P5-P8 pixel kernels plus the template readback
+(``stages.pixels.restore_and_read``), which is exactly what the
+flagship cascade does for this kind.
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ import struct
 MAGIC_PAGE = b"FPG1"
 MAGIC_BLANK = b"BLNK"
 MAGIC_DIGITAL = b"DTXT"
+MAGIC_RASTER = b"FPX1"
 
 
 def _keystream(seed: int, n: int) -> bytes:
@@ -72,10 +84,33 @@ def decode_digital(payload: bytes) -> str:
     return payload[4:].decode("utf-8")
 
 
+def encode_raster(img) -> bytes:
+    """Encode a 2-D uint8 grayscale bitmap into an FPX1 payload."""
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = a.shape
+    return MAGIC_RASTER + struct.pack("<II", h, w) + a.tobytes()
+
+
+def decode_raster(payload: bytes):
+    """Decode an FPX1 payload back to its (h, w) uint8 bitmap."""
+    import numpy as np
+
+    if payload[:4] != MAGIC_RASTER:
+        raise ValueError("not an FPX1 payload")
+    h, w = struct.unpack("<II", payload[4:12])
+    return np.frombuffer(payload[12:12 + h * w], dtype=np.uint8) \
+        .reshape(h, w).copy()
+
+
 def classify_payload(payload: bytes) -> str:
-    """S4/S5 analog: magic-byte sniffing → page | digital | blank | corrupt."""
+    """S4/S5 analog: magic-byte sniffing →
+    page | raster | digital | blank | corrupt."""
     if payload[:4] == MAGIC_PAGE:
         return "page"
+    if payload[:4] == MAGIC_RASTER:
+        return "raster"
     if payload[:4] == MAGIC_DIGITAL:
         return "digital"
     if payload[:4] == MAGIC_BLANK:

@@ -66,6 +66,12 @@ class DecodeMedia:
             if kind == "page":
                 n_lines.append(len(media_stub.decode_page(payload)))
                 ok.append(True)
+            elif kind == "raster":
+                # one CELL_H·SCALE-pixel band per rendered line
+                from .pixels import CELL_H, SCALE
+                h, _w = struct.unpack("<II", payload[4:12])
+                n_lines.append(h // (CELL_H * SCALE))
+                ok.append(True)
             elif kind == "digital":
                 n_lines.append(media_stub.decode_digital(payload).count("\n") + 1)
                 ok.append(True)

@@ -104,6 +104,14 @@ TRUNC_PENALTY = 0.05
 ACC_TARGET_ENHANCE = 0.90
 ACC_TARGET_LLM = 0.85
 
+# Raster (FPX1 bitmap) pages: the strategy-routed P5-P8 restoration +
+# template readback is a single-shot read (there is no higher-DPI
+# variant of a bitmap to re-decode), and pages that needed a restore
+# kernel dock a fixed residual-uncertainty penalty — the preprocessed-
+# page analog of the reference's post-enhancement confidence haircut
+# (adaptive_ocr_pipeline.py routes repaired pages as lower-trust).
+RESTORE_PENALTY = 0.05
+
 # Enhancement also triggers when the WORST line falls below this — the
 # analog of the reference's per-FIELD confidence trigger
 # (pipeline.py:1989 enhances on field_confidence, and fields live on
@@ -179,6 +187,34 @@ def read_line(raw: str, dpi: int) -> tuple[str, float]:
     return best_text, max(CONF_FLOOR, conf - DISAGREE_PENALTY * dissent)
 
 
+def _read_raster(payload: bytes) -> tuple[str, float, str, str]:
+    """FPX1 bitmap page → (canonical_text, page_conf, status, cascade).
+
+    The REAL pixel path (P3 stats → R3 strategy route → P5-P8 restore →
+    template readback, stages/pixels.py), then the same per-line
+    ensemble canonicalization every page read gets. Pages whose routed
+    strategy ran a restoration kernel are tagged ``restored`` and dock
+    ``RESTORE_PENALTY``; clean pages (plain Otsu binarize) are
+    ``accepted``. Single-shot: a bitmap has no 600-DPI re-decode."""
+    from . import pixels
+
+    img = media_stub.decode_raster(payload)
+    lines, strategy = pixels.restore_and_read(img)
+    lines = [ln for ln in lines if ln.strip()]
+    if not lines:
+        return "", 0.0, "blank", "none"
+    merged, confs = [], []
+    for raw in lines:
+        text, conf = read_line(raw, 300)
+        merged.append(text)
+        confs.append(conf)
+    conf = geomean_confidence(np.array(confs))
+    if strategy != "binarize":
+        return (fix_text("\n".join(merged)),
+                max(CONF_FLOOR, conf - RESTORE_PENALTY), "ok", "restored")
+    return fix_text("\n".join(merged)), conf, "ok", "accepted"
+
+
 def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str, bool]:
     """One ensemble pass at ``dpi`` →
     (canonical_text, page_conf, min_line_conf, status, truncated).
@@ -189,6 +225,9 @@ def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str, bool]:
         return "", 0.0, 0.0, "blank", False
     if kind == "corrupt":
         return "", 0.0, 0.0, "corrupt", False
+    if kind == "raster":
+        text, conf, status, _casc = _read_raster(payload)
+        return text, conf, conf, status, False
     if kind == "digital":
         # digital-text fast path: extractable text, skip OCR entirely,
         # conf=1.0 (reference pdfminer path, pipeline.py:1938-1946)
@@ -228,12 +267,15 @@ def ocr_page_cascade(payload: bytes, tau_enhance: float = TAU_ENHANCE
     pipeline.py:1989-2002 keeps the enhanced result only when it
     improves) — except for truncated pages, where the untruncated
     600-DPI read wins regardless of score (the 300-DPI confidence only
-    describes the clipped prefix). Returns (text, conf, status,
-    cascade) with cascade ∈ {accepted, enhanced, retry_kept, digital,
-    none}."""
+    describes the clipped prefix). Raster (FPX1) pages take the pixel
+    path instead (``_read_raster``). Returns (text, conf, status,
+    cascade) with cascade ∈ {accepted, enhanced, retry_kept, restored,
+    digital, none}."""
     kind = media_stub.classify_payload(payload)
     if kind == "digital":
         return media_stub.decode_digital(payload), 1.0, "ok", "digital"
+    if kind == "raster":
+        return _read_raster(payload)
     text, conf, min_conf, status, trunc = _decode(payload, 300)
     if status != "ok":
         return text, conf, status, "none"

@@ -49,6 +49,7 @@ _CONF_FLOOR = 0.55
 _DISAGREE_PENALTY = 0.04
 _TRUNC_CHARS_300 = 120
 _TRUNC_PENALTY = 0.05
+_RESTORE_PENALTY = 0.05     # pixel-restored raster pages' residual dock
 _TAU_ENHANCE = 0.90          # reference config.py tau_enhance
 _TAU_LLM = 0.85              # reference config.py tau_llm
 _TAU_LINE_ENHANCE = 0.85
@@ -168,6 +169,26 @@ def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str, bool]:
 def _ocr_page(payload: bytes, dpi: int) -> tuple[str, float, str]:
     text, conf, _m, st, _t = _decode(payload, dpi)
     return text, conf, st
+
+
+def _raster_expected(media_row: dict) -> tuple[str, float, str, str]:
+    """Expected read of a raster-bitmap page, derived from CONSTRUCTION
+    TRUTH (truth_lines in render order) — deliberately NOT by running
+    the engine's pixel kernels: the engine must genuinely RECOVER the
+    clean text from the degraded bitmap (P5-P8) or the texts diverge.
+    Degraded pages are expected ``restored`` with the fixed residual
+    dock; clean pages ``accepted`` (the strategy router must agree)."""
+    lines = [t["text"] for t in media_row["truth_lines"]]
+    merged, confs = [], []
+    for raw in lines:
+        text, conf = _read_line(raw, 300)
+        merged.append(text)
+        confs.append(conf)
+    conf = _geomean(confs)
+    if media_row["degradations"]:
+        return (fix_text("\n".join(merged)),
+                max(_CONF_FLOOR, conf - _RESTORE_PENALTY), "ok", "restored")
+    return fix_text("\n".join(merged)), conf, "ok", "accepted"
 
 
 def _cascade(payload: bytes, tau_enhance: float) -> tuple[str, float, str, str]:
@@ -301,7 +322,7 @@ def golden_spans(seed: int, n_docs: int, skew_upper: int = 120,
     rows: list[dict] = []
     for i in range(n_docs):
         doc, media_rows = gen_doc(seed, i, skew_upper)
-        payloads = {m["media_ref"]: m["payload"] for m in media_rows}
+        media = {m["media_ref"]: m for m in media_rows}
         order = 0
         for span in doc["spans"]:  # generator emits offset order already
             if span["kind"] == "text":
@@ -314,8 +335,11 @@ def golden_spans(seed: int, n_docs: int, skew_upper: int = 120,
                              "status": "ok", "cascade": "accepted"})
                 order += 1
             else:
-                text, conf, st, casc = _cascade(payloads[span["media_ref"]],
-                                                tau_enhance)
+                m = media[span["media_ref"]]
+                if m["media_kind"] == "page_raster":
+                    text, conf, st, casc = _raster_expected(m)
+                else:
+                    text, conf, st, casc = _cascade(m["payload"], tau_enhance)
                 if st != "ok":
                     continue  # blank/corrupt pages dropped from the sequence
                 if calib is None or casc == "digital":

@@ -18,9 +18,9 @@ class TestMultimodal:
         out = media.map_batches(multimodal.DecodeMedia, batch_size=64,
                                 concurrency=2, batch_format="pyarrow").to_pandas()
         assert "payload" not in out.columns  # payload dropped immediately
-        assert set(out["decoded_kind"]) <= {"page", "digital", "blank",
-                                            "corrupt", "oversize"}
-        pages = out[out["decoded_kind"].isin(["page", "digital"])]
+        assert set(out["decoded_kind"]) <= {"page", "raster", "digital",
+                                            "blank", "corrupt", "oversize"}
+        pages = out[out["decoded_kind"].isin(["page", "raster", "digital"])]
         assert (pages["n_lines"] > 0).all()
         assert pages["decode_ok"].all()
         assert not out[out["decoded_kind"] == "corrupt"]["decode_ok"].any()

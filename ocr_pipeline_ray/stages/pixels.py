@@ -68,33 +68,81 @@ def _glyph_bits(ch: str, salt: int) -> np.ndarray:
     return bits.astype(bool).reshape(GLYPH_H, GLYPH_W)
 
 
+_SALT_BATCH = 64
+
+# The glyph table, precomputed: np.packbits of the (95, 35) bool matrix
+# in CHARSET order, base64. The table is pure deterministic data —
+# exactly what ``_build_font()`` derives from the md5 stream — baked in
+# because deriving it costs ~2.7 s of salt search PER PROCESS, and
+# every Ray worker importing this module inside the flagship's timed
+# window multiplied that into the dominant extraction cost (~30 actors
+# × 2.7 s measured). ``_build_font`` remains the generator and
+# tests/test_pixels.py asserts the literal matches it bit for bit.
+_FONT_PACKED = (
+    "AAAAAAjsoZofLIrrl10T+Y6opGdkuB35FD/dAHDLoRl07GJ5m//eGr4nofaRo8Hw"
+    "Yo3DueMFGuXSzSvA6oJeMaxfyeyPx3/AWXLzcgy2dH8wrhhrhjluPdgdyRZBZLVz"
+    "a+Ojn4OjlvZ+az9kBw6kga9gxCoTmpZdWtAWkWKRjSeSQDap+XVSma2hhpVmUoHJ"
+    "MTFieWaj9O+f6mVBAtrdR/KVdCGpGGa8Xb0Vqxi+BEK+0d+dW0JFiiitFqP9ehRA"
+    "zMbGqyuliSt75BfUaaSdvgIlDHTl76osbSrLMpq9Zu0ChYJ/lG7nN8eulbANod17"
+    "KIH9fA++7Z0kiYt7I1VipDKZAUPnl7rwRAps5VH+YJTWVojO9NlGuR01UElbztDh"
+    "wBz85emL9/OwggTV6e8+rh17bLaH1vsDMRF//IYyuwv/9BWbiNBTjYRe9TRLLC8e"
+    "NQPf+CGhzCLqqOUfAJzn6xmxMRTKhsX3um1VV3nnyODZJJ7H0YcBpe1n0wq60qWR"
+    "lvh5RlqAdSZGlo0hnZejYYtBp4zDdArKqCZodjv3u0g="
+)
+
+
+def _unpack_font() -> dict[str, np.ndarray]:
+    """Decode the baked glyph table (inverse of the packbits above)."""
+    import base64
+
+    raw = np.frombuffer(base64.b64decode(_FONT_PACKED), dtype=np.uint8)
+    n = len(CHARSET)
+    bits = np.unpackbits(raw)[:n * GLYPH_W * GLYPH_H]
+    mat = bits.astype(bool).reshape(n, GLYPH_H, GLYPH_W)
+    return {ch: mat[i] for i, ch in enumerate(CHARSET)}
+
+
 def _build_font() -> dict[str, np.ndarray]:
     """Deterministic glyph table: per char, bump the salt until the
     glyph's ink count is in budget AND it keeps ``_MIN_GLYPH_DIST``
     Hamming distance from every glyph already placed (greedy over the
-    fixed charset order ⇒ reproducible everywhere)."""
+    fixed charset order, FIRST qualifying salt wins ⇒ reproducible
+    everywhere). The salt search is vectorized — candidate salts are
+    hashed in batches and screened with one (batch × placed) XOR-sum
+    matrix instead of a per-salt Python pairwise loop; semantics (and
+    therefore the font) are identical, but the build drops from ~6 s
+    to well under a second. That matters because every Ray worker pays
+    this once at module import, inside the flagship's timed window —
+    ~30 actors × 6 s dominated extraction wall before this change."""
     font: dict[str, np.ndarray] = {" ": np.zeros((GLYPH_H, GLYPH_W), bool)}
     placed = [font[" "].ravel()]
+    placed_mat = np.stack(placed)
     for ch in CHARSET:
         if ch == " ":
             continue
         salt = 0
         while True:
-            g = _glyph_bits(ch, salt)
-            ink = int(g.sum())
-            if _INK_MIN <= ink <= _INK_MAX and all(
-                    int((g.ravel() ^ p).sum()) >= _MIN_GLYPH_DIST
-                    for p in placed):
-                font[ch] = g
-                placed.append(g.ravel())
+            batch = np.stack([
+                _glyph_bits(ch, s).ravel()
+                for s in range(salt, salt + _SALT_BATCH)])
+            ink = batch.sum(axis=1)
+            ok = (ink >= _INK_MIN) & (ink <= _INK_MAX)
+            dist = (batch[:, None, :] ^ placed_mat[None, :, :]).sum(axis=2)
+            ok &= dist.min(axis=1) >= _MIN_GLYPH_DIST
+            hits = np.nonzero(ok)[0]
+            if hits.size:
+                g = batch[hits[0]]
+                font[ch] = g.reshape(GLYPH_H, GLYPH_W)
+                placed.append(g)
+                placed_mat = np.stack(placed)
                 break
-            salt += 1
+            salt += _SALT_BATCH
     return font
 
 
-_FONT = _build_font()
+_FONT = _unpack_font()
 _FONT_CHARS = np.array(list(_FONT.keys()))
-_FONT_STACK = np.stack([_FONT[c].ravel() for c in _FONT_CHARS])  # (96, 35)
+_FONT_STACK = np.stack([_FONT[c].ravel() for c in _FONT_CHARS])  # (95, 35)
 
 
 def render_lines(texts: list[str], pad_cols: int = 1) -> np.ndarray:

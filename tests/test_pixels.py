@@ -69,6 +69,15 @@ class TestFont:
         b = px.render_lines(PAGES[0])
         assert np.array_equal(a, b)
 
+    def test_baked_font_matches_generator(self):
+        """The baked _FONT_PACKED literal is exactly what _build_font
+        derives from the md5 salt search (the literal exists only to
+        spare every worker the ~2.7 s derivation at import)."""
+        built = px._build_font()
+        assert list(built) == list(px._FONT)
+        for ch in built:
+            assert np.array_equal(built[ch], px._FONT[ch]), repr(ch)
+
 
 class TestOtsu:
     def test_bimodal_split(self):

@@ -673,10 +673,26 @@ def oracle_sql() -> dict[str, str]:
                 "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/pixel_tiled_lineage/*.parquet')
             ORDER BY media_ref
         """,
+        # degradation_bank: same derived-file contract — the Ray query
+        # writes its per-(op, page) scored rows and returns their
+        # scaled-int-mean profile; the oracle aggregates the same file
+        # with the identical float policy.
+        "degradation_bank": f"""
+            SELECT op,
+                   count(*)::BIGINT AS n_pages,
+                   (sum(CAST(floor(acc * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+                   / count(*) AS mean_char_acc,
+                   (sum(CAST(floor(conf * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+                   / count(*) AS mean_conf
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/degradation_bank_lineage/*.parquet')
+            GROUP BY op
+            ORDER BY op
+        """,
         # extract_spans_corpus / extract_fields_corpus / simhash_near_dups /
         # ivf_topk / frame_samples / ensemble_vote_merge /
         # calibration_thresholds: not SQL-expressible (stateful binary
-        # decode / bit hashing / approximate search / PAV) → rows-only
+        # decode / bit hashing / approximate search / PAV) → rows-only,
         # driver check; each is gated instead by an exact pytest oracle
         # (tests/test_extract_golden.py golden equality, test_dedup.py
         # brute-force simhash, test_similarity.py IVF recall,

@@ -122,8 +122,12 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
     Geometry-domain damage (rotation, jitter, scan order, coordinate
     blowup) must be repaired by the preprocessors — their accuracy
     matches the clean baseline; text-domain damage degrades it
-    (asserted in tests/test_stages_extra.py). Rows-only entry (binary
-    decode is not SQL-expressible)."""
+    (asserted in tests/test_stages_extra.py). The binary decode is not
+    SQL-expressible, but the per-page scored rows ARE data: they are
+    WRITTEN to a derived parquet partition (``_lineage_write``) and the
+    returned profile aggregates that file with the engine-standard
+    scaled-int mean — the paired DuckDB oracle reads the SAME file, so
+    the driver gate checks rows+schema+hash end to end."""
     from ..functions.accuracy import char_accuracy
     from ..sources.degrade import DEGRADATION_OPS, degrade_page
 
@@ -140,17 +144,20 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
     # (16 sequential Dataset runs measured 6× slower — each paid the
     # executor's fixed floor)
     def explode_ops(batch: pa.Table) -> pa.Table:
-        out_op, out_payload, out_truth = [], [], []
-        for payload, truth in zip(batch["payload"].to_pylist(),
-                                  batch["truth_lines"].to_pylist()):
+        out_op, out_ref, out_payload, out_truth = [], [], [], []
+        for ref, payload, truth in zip(batch["media_ref"].to_pylist(),
+                                       batch["payload"].to_pylist(),
+                                       batch["truth_lines"].to_pylist()):
             for op in ops:
                 out_op.append(op)
+                out_ref.append(ref)
                 out_payload.append(
                     payload if op == "none"
                     else degrade_page(payload, op, severity))
                 out_truth.append(truth)
         return pa.table({
             "op": pa.array(out_op, type=pa.string()),
+            "media_ref": pa.array(out_ref, type=pa.string()),
             "payload": pa.array(out_payload, type=pa.binary()),
             "truth_lines": pa.array(out_truth),
         })
@@ -162,10 +169,11 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
         from ..functions.geometry import xy_cut_order
         from ..stages.ocr import ocr_page_cascade
 
-        out_op, accs, confs = [], [], []
-        for op, payload, truth in zip(batch["op"].to_pylist(),
-                                      batch["payload"].to_pylist(),
-                                      batch["truth_lines"].to_pylist()):
+        out_op, out_ref, accs, confs = [], [], [], []
+        for op, ref, payload, truth in zip(batch["op"].to_pylist(),
+                                           batch["media_ref"].to_pylist(),
+                                           batch["payload"].to_pylist(),
+                                           batch["truth_lines"].to_pylist()):
             text, conf, _st, _casc = ocr_page_cascade(payload)
             if not truth:
                 continue
@@ -174,9 +182,11 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
             order = xy_cut_order(xs, ys)
             truth_text = fix_text("\n".join(truth[i]["text"] for i in order))
             out_op.append(op)
+            out_ref.append(ref)
             accs.append(char_accuracy(truth_text, text))
             confs.append(conf)
         return pa.table({"op": pa.array(out_op, type=pa.string()),
+                         "media_ref": pa.array(out_ref, type=pa.string()),
                          "acc": pa.array(accs, type=pa.float64()),
                          "conf": pa.array(confs, type=pa.float64())})
 
@@ -187,15 +197,27 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
         .map_batches(explode_ops, batch_size=32, batch_format="pyarrow") \
         .map_batches(multimodal.PreprocessMedia, batch_size=128,
                      concurrency=2, batch_format="pyarrow") \
-        .map_batches(score, batch_format="pyarrow").to_pandas()
-    # driver merge bounded by |ops| × sample_n scored rows (tiny)
-    out = scored.groupby("op", as_index=False).agg(
-        n_pages=("acc", "size"), mean_char_acc=("acc", "mean"),
-        mean_conf=("conf", "mean"))
-    out["mean_char_acc"] = out["mean_char_acc"].round(6)
-    out["mean_conf"] = out["mean_conf"].round(6)
+        .map_batches(score, batch_format="pyarrow")
+    lineage = _lineage_write(
+        scored, f"{corpus}/degradation_bank_lineage").to_pandas()
+    # driver merge bounded by |ops| × sample_n scored rows (tiny).
+    # Scaled-int means (floor(x*1e6+0.5) per row, exact int64 sum,
+    # fixed division order) — bit-identical to the DuckDB oracle over
+    # the same lineage file (see pipelines/relational.py float policy).
+    import numpy as np
+
+    lineage["acc_i"] = np.floor(
+        lineage["acc"].to_numpy() * 1e6 + 0.5).astype("int64")
+    lineage["conf_i"] = np.floor(
+        lineage["conf"].to_numpy() * 1e6 + 0.5).astype("int64")
+    out = lineage.groupby("op", as_index=False).agg(
+        n_pages=("acc_i", "size"), acc_s=("acc_i", "sum"),
+        conf_s=("conf_i", "sum"))
+    out["mean_char_acc"] = (out["acc_s"] / 1e6) / out["n_pages"]
+    out["mean_conf"] = (out["conf_s"] / 1e6) / out["n_pages"]
     out["n_pages"] = out["n_pages"].astype("int64")
-    return out.sort_values("op").reset_index(drop=True)
+    return out.sort_values("op").reset_index(drop=True)[
+        ["op", "n_pages", "mean_char_acc", "mean_conf"]]
 
 
 def frame_samples(sf_dir: str) -> pd.DataFrame:

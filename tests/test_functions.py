@@ -109,3 +109,10 @@ class TestMediaStub:
     def test_payload_is_opaque(self):
         payload = media_stub.encode_page([("findme secret", 0, 0)], seed=3)
         assert b"findme" not in payload
+
+    def test_raster_roundtrip(self):
+        import numpy as np
+        img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        payload = media_stub.encode_raster(img)
+        assert media_stub.classify_payload(payload) == "raster"
+        assert np.array_equal(media_stub.decode_raster(payload), img)

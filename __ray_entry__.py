@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degradation_bank": modelops.degradation_bank,
         "pixel_restore_bank": modelops.pixel_restore_bank,
         "pixel_tiled_restore": modelops.pixel_tiled_restore,
+        "tensorize_profile": modelops.tensorize_profile,
         "frame_samples": modelops.frame_samples,
         "ensemble_vote_merge": modelops.ensemble_vote_merge,
         "calibration_thresholds": modelops.calibration_thresholds,
@@ -671,6 +672,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref, n_patches, otsu_only_ok, tiled_restored_ok
             FROM read_parquet('{_span_corpus_path(os.environ.get(
                 "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/pixel_tiled_lineage/*.parquet')
+            ORDER BY media_ref
+        """,
+        # tensorize_profile: the P10 tensorizer dataflow's per-page
+        # profile (shapes, scale, tensor fingerprints) via the same
+        # derived-file contract; kernels gated in test_tensorize.py.
+        "tensorize_profile": f"""
+            SELECT media_ref, det_h, det_w, det_scale_q, rec_n_lines,
+                   rec_w_max, crc_det, crc_rec_fold, crc_angle
+            FROM read_parquet('{_span_corpus_path(os.environ.get(
+                "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))}/tensorize_lineage/*.parquet')
             ORDER BY media_ref
         """,
         # degradation_bank: same derived-file contract — the Ray query

@@ -220,6 +220,31 @@ def degradation_bank(sf_dir: str, severity: str = "medium",
         ["op", "n_pages", "mean_char_acc", "mean_conf"]]
 
 
+def tensorize_profile(sf_dir: str, sample_n: int = 256) -> pd.DataFrame:
+    """P10 det/rec/angle tensorizer dataflow over raster pages
+    (stages/tensorize.py — reference ImagePreprocessor,
+    pytorch_mobile/ocr_pipeline.py:350-444). The model-input tensors
+    are produced, crc-fingerprinted and dropped inside each task —
+    only the narrow per-page profile row leaves the actor (an 11 MB
+    det tensor must never enter the object store as a column). The
+    profile is WRITTEN to a derived parquet partition
+    (``_lineage_write``) and the DuckDB oracle reads the same file, so
+    the driver gate checks rows+schema+hash; the tensorizer kernels
+    themselves are exactly gated in tests/test_tensorize.py."""
+    from ..stages.tensorize import TensorizeMedia
+
+    corpus = _corpus(sf_dir)
+    base = rd.read_parquet(f"{corpus}/media",
+                           columns=["media_ref", "media_kind", "payload"]) \
+        .filter(expr="media_kind == 'page_raster'") \
+        .limit(sample_n)
+    profile = base.map_batches(TensorizeMedia, batch_size=16,
+                               concurrency=2, batch_format="pyarrow")
+    out = _lineage_write(
+        profile, f"{corpus}/tensorize_lineage").to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def frame_samples(sf_dir: str) -> pd.DataFrame:
     """FrameSample explode (1 media row → k frame rows), sorted output."""
     corpus = _corpus(sf_dir)

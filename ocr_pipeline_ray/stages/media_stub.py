@@ -125,11 +125,22 @@ def decode_page(payload: bytes) -> list[tuple[str, int, int]]:
     (seed,) = struct.unpack("<Q", payload[4:12])
     body = bytes(a ^ b for a, b in zip(payload[12:], _keystream(seed, len(payload) - 12)))
     (n_lines,) = struct.unpack("<I", body[:4])
+    if n_lines * 12 > len(body) - 4:
+        # a torn/garbled payload can decode to an absurd line count;
+        # every line costs ≥12 header bytes, so this bound rejects it
+        # BEFORE the record loop (no unbounded spin on hostile input)
+        raise ValueError("truncated FPG1 payload")
     off = 4
     lines: list[tuple[str, int, int]] = []
     for _ in range(n_lines):
         x, y, ln = struct.unpack("<iiI", body[off:off + 12])
         off += 12
+        if off + ln > len(body):
+            # a record whose declared text length runs past the buffer
+            # is a torn payload — fail loudly here so the caller's
+            # failure-as-data guard turns it into a 'corrupt' row
+            # (a silent short slice would fabricate truncated text)
+            raise ValueError("truncated FPG1 payload")
         lines.append((body[off:off + ln].decode("utf-8"), x, y))
         off += ln
     return lines

@@ -49,6 +49,7 @@ data status columns.
 from __future__ import annotations
 
 import re
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -249,10 +250,22 @@ def _decode(payload: bytes, dpi: int) -> tuple[str, float, float, str, bool]:
             geomean_confidence(np.array(confs)), min(confs), "ok", truncated)
 
 
+# Decode failures a torn-but-valid-magic payload can raise: reshape /
+# format ValueErrors, short struct unpacks, utf-8 split mid-codepoint.
+# Failure-as-data (S3, reference format validator pipeline.py:2615-2685):
+# the page becomes a 'corrupt' STATUS ROW — an exception here would kill
+# the actor task and with it the whole batch at 100 TB, where torn
+# files are a certainty, not an edge case.
+_DECODE_ERRORS = (ValueError, struct.error, UnicodeDecodeError)
+
+
 def ocr_page(payload: bytes, dpi: int = 300) -> tuple[str, float, str]:
     """Decode one page at ``dpi`` → (canonical_text, confidence, status).
     One ensemble pass, no cascade (the cascade wraps this)."""
-    text, conf, _min_conf, status, _trunc = _decode(payload, dpi)
+    try:
+        text, conf, _min_conf, status, _trunc = _decode(payload, dpi)
+    except _DECODE_ERRORS:
+        return "", 0.0, "corrupt"
     return text, conf, status
 
 
@@ -268,9 +281,19 @@ def ocr_page_cascade(payload: bytes, tau_enhance: float = TAU_ENHANCE
     improves) — except for truncated pages, where the untruncated
     600-DPI read wins regardless of score (the 300-DPI confidence only
     describes the clipped prefix). Raster (FPX1) pages take the pixel
-    path instead (``_read_raster``). Returns (text, conf, status,
-    cascade) with cascade ∈ {accepted, enhanced, retry_kept, restored,
-    digital, none}."""
+    path instead (``_read_raster``). A payload whose magic is valid
+    but whose body is torn/garbled decodes to a 'corrupt' status row
+    (``_DECODE_ERRORS`` — failure-as-data, never an actor-killing
+    exception). Returns (text, conf, status, cascade) with cascade ∈
+    {accepted, enhanced, retry_kept, restored, digital, none}."""
+    try:
+        return _cascade_unguarded(payload, tau_enhance)
+    except _DECODE_ERRORS:
+        return "", 0.0, "corrupt", "none"
+
+
+def _cascade_unguarded(payload: bytes, tau_enhance: float
+                       ) -> tuple[str, float, str, str]:
     kind = media_stub.classify_payload(payload)
     if kind == "digital":
         return media_stub.decode_digital(payload), 1.0, "ok", "digital"

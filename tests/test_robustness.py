@@ -102,3 +102,69 @@ class TestFieldsParity:
     def test_field_exact_match_metric(self):
         assert field_exact_match({"a": 1, "b": None}, {"a": 1}) == 1.0
         assert field_exact_match({"a": 1, "b": 2}, {"a": 1, "b": 3}) == 0.5
+
+
+class TestTornPayloads:
+    """Failure-as-data for payloads with a VALID magic but a torn or
+    garbled body — at 100 TB a truncated file is a certainty, and an
+    exception inside the decode would kill the actor task (and its
+    whole batch) instead of producing a 'corrupt' status row."""
+
+    def _torn(self):
+        import numpy as np
+
+        from ocr_pipeline_ray.stages import media_stub, pixels
+
+        raster = media_stub.encode_raster(pixels.render_lines(["hello"]))
+        page = media_stub.encode_page([("abc def", 0, 0)], seed=5)
+        digital = media_stub.encode_digital("café lines")
+        return [raster[: len(raster) // 2],   # half the pixel bytes
+                page[:10],                    # torn inside the header
+                page[:-3],                    # torn inside a record
+                digital[:8],                  # utf-8 split inside 'é'
+                raster[:6]]                   # torn before h/w
+
+    def test_cascade_yields_corrupt_rows_not_exceptions(self):
+        from ocr_pipeline_ray.stages.ocr import ocr_page, ocr_page_cascade
+
+        for torn in self._torn():
+            text, conf, status, cascade = ocr_page_cascade(torn)
+            assert (text, conf, status, cascade) == ("", 0.0, "corrupt",
+                                                     "none"), torn[:8]
+            assert ocr_page(torn)[2] == "corrupt"
+
+    def test_torn_rows_flow_through_the_ocr_stage(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.ocr import OcrStage
+
+        torn = self._torn()
+        n = len(torn)
+        batch = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "kind": pa.array(["media"] * n),
+            "text": pa.array([""] * n),
+            "media_ref": pa.array([f"m{i}" for i in range(n)]),
+            "offset": pa.array(list(range(n)), type=pa.int32()),
+            "status": pa.array(["pending"] * n),
+            "conf": pa.array([0.0] * n),
+            "payload": pa.array(torn, type=pa.binary()),
+        })
+        out = OcrStage()(batch)
+        assert out["status"].to_pylist() == ["corrupt"] * n
+        assert out["cascade"].to_pylist() == ["none"] * n
+
+    def test_absurd_line_count_rejected_before_loop(self):
+        import struct as _s
+
+        from ocr_pipeline_ray.stages import media_stub
+
+        # forge a body that decodes to n_lines = 2**31 in 40 bytes
+        seed = 9
+        body = _s.pack("<I", 2**31) + b"x" * 36
+        ks = media_stub._keystream(seed, len(body))
+        payload = media_stub.MAGIC_PAGE + _s.pack("<Q", seed) \
+            + bytes(a ^ b for a, b in zip(body, ks))
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            media_stub.decode_page(payload)

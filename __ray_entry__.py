@@ -110,7 +110,8 @@ def _q_extract_fields(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_pipeline_ray.pipelines import (dedup, modelops, relational,
-                                            similarity, text, windows)
+                                            sampling, similarity, text,
+                                            windows)
 
     return {
         # flagship span-extraction pipeline (north rule; pytest-gated)
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_confusion": text.lang_id_confusion,
         "doc_fingerprints": text.doc_fingerprints,
         "prefix_dedup_survivors": text.prefix_dedup_survivors,
+        "training_mix_sample": sampling.training_mix_sample,
         # dedup family
         "exact_dedup_augmented": dedup.exact_dedup_augmented,
         "near_dup_pairs_minhash": dedup.near_dup_pairs_minhash,
@@ -492,6 +494,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY prefix_key
             ORDER BY doc_id
+        """,
+        # training_mix_sample: token-budget stratified selection — the
+        # greedy hash-order prefix per lang stratum as one SQL window;
+        # hash, budget and cumsum are exact int64 on both sides.
+        "training_mix_sample": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       (doc_id * 2654435761) % 4294967296 AS h
+                FROM documents),
+            b AS (SELECT lang, (sum(n_tokens) * 3) // 10 AS budget
+                  FROM t GROUP BY lang),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang
+                                             ORDER BY h, doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT c.doc_id, c.lang, c.n_tokens
+            FROM c JOIN b USING (lang)
+            WHERE c.cum <= b.budget
+            ORDER BY c.doc_id
         """,
         "exact_dedup_augmented": """
             WITH aug AS (
